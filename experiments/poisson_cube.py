@@ -1,0 +1,138 @@
+"""poisson_cube experiment: 3-D constant-coefficient Poisson on a cube.
+
+TPU-native port of the reference driver
+(/root/reference/poisson_cube/program.cc): analytic solution
+``prod_d sin(pi k x_d)`` with k = 3, f = dim (pi k)^2 u on
+``[-0.9, 1.0]^dim``, mesh ladder of cube sizes, mixed fp32/fp64 multigrid,
+FMG + CG benchmarks with the same convergence-table schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from multigrid_tpu.mesh.brick import BrickMesh, doubling_mesh, poisson_cube_mesh
+from multigrid_tpu.solvers.multigrid import MultigridSolver
+
+WAVE_NUMBER = 3.0
+SIZES = [1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 40, 48, 56,
+         64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 448, 512]
+
+
+def exact_fn(coords):
+    out = 1.0
+    for c in coords:
+        out = out * np.sin(np.pi * WAVE_NUMBER * c)
+    return out
+
+
+def rhs_fn(coords):
+    dim = len(coords)
+    return dim * (np.pi * WAVE_NUMBER) ** 2 * exact_fn(coords)
+
+
+def build_solver(mesh: BrickMesh, degree: int, n_pre: int = 2, n_post: int = 2,
+                 n_cycles: int = 2) -> MultigridSolver:
+    return MultigridSolver(
+        mesh, degree, exact_fn, rhs_fn,
+        n_pre=n_pre, n_post=n_post, n_cycles=n_cycles,
+    )
+
+
+def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
+              n_post: int, n_fmg_repeat: int = 3, n_cg_repeat: int = 3,
+              n_matvec: int = 50, verbose: bool = True) -> dict:
+    """One row of the reference convergence table
+    (/root/reference/poisson_cube/program.cc:255-401)."""
+    import jax
+    import jax.numpy as jnp
+
+    solver = build_solver(mesh, degree, n_pre, n_post, n_cycles)
+    grid = solver.grids[solver.maxlevel]
+    row = {"cells": mesh.n_cells(mesh.max_level), "dofs": grid.n_dofs}
+
+    best = np.inf
+    for _ in range(n_fmg_repeat):
+        t0 = time.perf_counter()
+        sol = solver.solve()
+        sol.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    row["fmg_time"] = best
+    _, report, reduction = solver.solve_analyze()
+    row["reduction"] = reduction
+    row["fmg_L2error"] = solver.l2_error(solver.maxlevel, sol)
+
+    best_cg = np.inf
+    for _ in range(n_cg_repeat):
+        t0 = time.perf_counter()
+        sol_cg, its, red = solver.solve_cg()
+        sol_cg.block_until_ready()
+        best_cg = min(best_cg, time.perf_counter() - t0)
+    row["cg_time"] = best_cg
+    row["cg_its"] = its
+    row["cg_reduction"] = red
+    row["cg_L2error"] = solver.l2_error(solver.maxlevel, sol_cg)
+
+    # matvec benchmarks (program.cc:343-384)
+    for name, fn, dtype in [
+        ("mv_outer", solver.do_matvec, solver.f_dtype),
+        ("mv_inner", solver.do_matvec_smoother, solver.v_dtype),
+    ]:
+        x = jnp.asarray(np.random.default_rng(0).normal(size=grid.shape), dtype)
+        fn(x).block_until_ready()
+        best_mv = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            y = x
+            for _ in range(n_matvec):
+                y = fn(y)
+            y.block_until_ready()
+            best_mv = min(best_mv, (time.perf_counter() - t0) / n_matvec)
+        row[name] = best_mv
+    row["mv_outer_dofs_per_s"] = row["dofs"] / row["mv_outer"]
+    if verbose:
+        print({k: (float(v) if isinstance(v, (np.floating, float)) else v)
+               for k, v in row.items()})
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("degree", type=int, nargs="?", default=4)
+    ap.add_argument("minsize", type=int, nargs="?", default=0)
+    ap.add_argument("maxsize", type=int, nargs="?", default=10_000_000)
+    ap.add_argument("n_mg_cycles", type=int, nargs="?", default=2)
+    ap.add_argument("n_pre_smooth", type=int, nargs="?", default=2)
+    ap.add_argument("n_post_smooth", type=int, nargs="?", default=2)
+    ap.add_argument("mesh", nargs="?", default="square",
+                    choices=["square", "doubling"])
+    ap.add_argument("--dim", type=int, default=3)
+    args = ap.parse_args()
+
+    rows = []
+    for cycle, size in enumerate(SIZES):
+        if args.mesh == "doubling":
+            mesh = doubling_mesh(cycle, args.dim)
+        else:
+            mesh = poisson_cube_mesh(size, args.dim)
+        grid_dofs = np.prod(
+            [c * args.degree + 1 for c in mesh.cells(mesh.max_level)]
+        )
+        if grid_dofs < args.minsize:
+            continue
+        if grid_dofs > args.maxsize:
+            print(f"Projected size {grid_dofs} higher than max size, terminating.")
+            break
+        print(f"Cycle {cycle}: {mesh.cells(mesh.max_level)} cells, {grid_dofs} dofs")
+        rows.append(run_cycle(mesh, args.degree, args.n_mg_cycles,
+                              args.n_pre_smooth, args.n_post_smooth))
+
+    from multigrid_tpu.utils.tables import print_convergence_table
+    print_convergence_table(rows, dim=args.dim)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,259 @@
+"""Matrix-free continuous-FE_Q Laplace operator, XLA sum-factorization path.
+
+TPU-native re-design of the reference operator
+(/root/reference/common/laplace_operator.h:56-164):
+
+* cell-batched evaluation becomes batched einsum contractions over the
+  interleaved cell layout ``[N0, n, N1, n, N2, n]`` produced by
+  :mod:`multigrid_tpu.ops.windows` — the (p+1)x(p+1) 1-D matrices hit the
+  MXU with the full cell grid as batch, instead of the reference's even-odd
+  SIMD kernels (/root/reference/common/matrix_vector_kernel.h:30-216);
+* the *merged coefficient* trick is kept: the quadrature-point operation
+  applies one symmetric tensor ``C = c * w_q * det(J) * J^{-1} J^{-T}``
+  per point (or a single diagonal for affine geometry + constant
+  coefficient, /root/reference/common/laplace_operator.h:357-432);
+* Dirichlet constraints: inputs read as zero on constrained nodes, outputs
+  written as identity rows ``dst[c] = src[c]``
+  (/root/reference/common/laplace_operator.h:573-601).
+
+The evaluation pipeline is basis->quad interpolation (d sweeps of S), then
+collocation derivatives (d sweeps of D_col), the quad-point coefficient
+apply, and the transpose sweeps — identical in flops to the reference's
+collocation path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.brick import DofGrid
+from .windows import gather_cells, scatter_cells
+
+_SYM2 = ((0, 0), (1, 1), (0, 1))
+_SYM3 = ((0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2))
+
+
+def sym_components(dim: int):
+    """Symmetric-tensor storage order, matching
+    /root/reference/common/laplace_operator.h:382-386 (diag first)."""
+    return _SYM2 if dim == 2 else _SYM3
+
+
+def sym_index(dim: int, a: int, b: int) -> int:
+    comps = sym_components(dim)
+    key = (min(a, b), max(a, b))
+    return comps.index(key)
+
+
+def apply_1d(w: jnp.ndarray, mat: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Contract ``mat[out, in]`` against node-axis ``axis`` of ``w``.
+
+    The batched small-matrix contraction that replaces
+    ``apply_1d_matvec_kernel`` (/root/reference/common/matrix_vector_kernel.h:30-45).
+    """
+    nd = w.ndim
+    in_subs = list(range(nd))
+    out_subs = list(range(nd))
+    out_subs[axis] = nd
+    return jnp.einsum(w, in_subs, mat, [nd, axis], out_subs)
+
+
+@dataclass(frozen=True)
+class DiagCoef:
+    """Affine geometry + constant scalar coefficient: merged tensor is the
+    diagonal ``c * det(J) / h_d^2`` (one value per axis); the quadrature
+    weight is applied separately, as in the reference affine fast path
+    (/root/reference/common/laplace_operator.h:447-491)."""
+
+    values: tuple[float, ...]
+
+
+@dataclass
+class SymCoef:
+    """Full per-quad-point symmetric merged coefficient INCLUDING JxW and
+    quadrature weight; array broadcastable to ``[N0,nq,...,N_{d-1},nq,nsym]``
+    (/root/reference/common/laplace_operator.h:493-522)."""
+
+    array: jnp.ndarray
+
+
+Coef = Union[DiagCoef, SymCoef]
+
+
+def make_diag_coef(grid: DofGrid, coefficient: float = 1.0) -> DiagCoef:
+    jxw = grid.jxw_scalar
+    return DiagCoef(tuple(coefficient * jxw / h**2 for h in grid.h))
+
+
+class LaplaceOperator:
+    """A·u for -div(c grad u) with FE_Q(p) on one structured-brick level."""
+
+    def __init__(self, grid: DofGrid, dtype=jnp.float32, coef: Optional[Coef] = None):
+        self.grid = grid
+        self.dtype = dtype
+        b = grid.basis
+        self.n = b.n
+        self.dim = grid.dim
+        self.S = jnp.asarray(b.S, dtype)
+        self.St = jnp.asarray(b.S.T, dtype)
+        self.D = jnp.asarray(b.D_col, dtype)
+        self.Dt = jnp.asarray(b.D_col.T, dtype)
+        self.coef = coef if coef is not None else make_diag_coef(grid)
+        self.interior = jnp.asarray(~grid.boundary_mask())
+        # quadrature-weight product, broadcastable to the interleaved layout
+        qw = b.quad_weights
+        w3 = np.ones([1] * (2 * self.dim))
+        for d in range(self.dim):
+            shape = [1] * (2 * self.dim)
+            shape[2 * d + 1] = self.n
+            w3 = w3 * qw.reshape(shape)
+        self.w3d = jnp.asarray(w3, dtype)
+
+    # ---------------------------------------------------------------- eval
+    def _to_quad(self, w: jnp.ndarray) -> jnp.ndarray:
+        for d in range(self.dim):
+            w = apply_1d(w, self.S, 2 * d + 1)
+        return w
+
+    def _from_quad_t(self, w: jnp.ndarray) -> jnp.ndarray:
+        for d in range(self.dim):
+            w = apply_1d(w, self.St, 2 * d + 1)
+        return w
+
+    def _gradients(self, uq: jnp.ndarray) -> list[jnp.ndarray]:
+        return [apply_1d(uq, self.D, 2 * d + 1) for d in range(self.dim)]
+
+    def _quad_op(self, g: Sequence[jnp.ndarray]) -> list[jnp.ndarray]:
+        """Merged-coefficient apply at quadrature points
+        (/root/reference/common/laplace_operator.h:436-523)."""
+        dim = self.dim
+        if isinstance(self.coef, DiagCoef):
+            return [g[d] * (self.coef.values[d] * self.w3d) for d in range(dim)]
+        C = self.coef.array
+        comps = sym_components(dim)
+        out = []
+        for a in range(dim):
+            acc = None
+            for b_ in range(dim):
+                term = C[..., sym_index(dim, a, b_)] * g[b_]
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return out
+
+    def apply_cells(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Unconstrained operator: gather -> evaluate -> coefficient ->
+        integrate -> scatter (no Dirichlet handling);
+        cf. local_apply /root/reference/common/laplace_operator.h:527-558."""
+        w = gather_cells(u, self.n)
+        uq = self._to_quad(w)
+        g = self._gradients(uq)
+        gq = self._quad_op(g)
+        acc = apply_1d(gq[0], self.Dt, 1)
+        for d in range(1, self.dim):
+            acc = acc + apply_1d(gq[d], self.Dt, 2 * d + 1)
+        y = self._from_quad_t(acc)
+        return scatter_cells(y, self.n)
+
+    # --------------------------------------------------------------- vmult
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        """dst = A src with identity rows on Dirichlet nodes
+        (/root/reference/common/laplace_operator.h:573-601)."""
+        xm = jnp.where(self.interior, src, 0)
+        y = self.apply_cells(xm)
+        return jnp.where(self.interior, y, src)
+
+    def vmult_residual(self, rhs: jnp.ndarray, lhs: jnp.ndarray) -> jnp.ndarray:
+        """residual = rhs - A lhs (constrained rows rhs - lhs),
+        /root/reference/common/laplace_operator.h:605-634."""
+        xm = jnp.where(self.interior, lhs, 0)
+        y = self.apply_cells(xm)
+        return jnp.where(self.interior, rhs - y, rhs - lhs)
+
+    # ----------------------------------------------------------------- rhs
+    def compute_rhs(self, f_quad: jnp.ndarray, u_bc: jnp.ndarray) -> jnp.ndarray:
+        """b = M f - A u_bc with zero at Dirichlet rows; the analogue of
+        compute_residual (/root/reference/common/laplace_operator.h:804-845).
+
+        ``f_quad``: right-hand side evaluated on the interleaved quad layout.
+        ``u_bc``: node-grid vector holding boundary values (read unmasked,
+        like the phi_nodirichlet path in the reference).
+        """
+        jxw = self.grid.jxw_scalar
+        fv = self._from_quad_t(f_quad.astype(self.dtype) * (self.w3d * jxw))
+        w = gather_cells(u_bc, self.n)
+        uq = self._to_quad(w)
+        g = self._gradients(uq)
+        gq = self._quad_op(g)
+        acc = apply_1d(gq[0], self.Dt, 1)
+        for d in range(1, self.dim):
+            acc = acc + apply_1d(gq[d], self.Dt, 2 * d + 1)
+        y = fv - self._from_quad_t(acc)
+        b = scatter_cells(y, self.n)
+        return jnp.where(self.interior, b, 0)
+
+    # ------------------------------------------------------------ diagonal
+    def inverse_diagonal(self) -> jnp.ndarray:
+        """1/diag(A) with 1.0 on Dirichlet rows
+        (/root/reference/common/laplace_operator.h:745-800)."""
+        b = self.grid.basis
+        if isinstance(self.coef, DiagCoef):
+            # separable: diag_loc = sum_d c_d * prod_e (L_ii if e==d else M_ii)
+            mdiag = np.diag(b.M)
+            ldiag = np.diag(b.L)
+            dim = self.dim
+            loc = np.zeros((self.n,) * dim)
+            for d in range(dim):
+                term = np.array(self.coef.values[d])
+                for e in range(dim):
+                    vec = ldiag if e == d else mdiag
+                    shape = [1] * dim
+                    shape[e] = self.n
+                    term = term * vec.reshape(shape)
+                loc = loc + term
+            cells = self.grid.cells
+            # broadcast per-cell local diagonal to interleaved layout
+            shape = []
+            for d in range(dim):
+                shape += [1, self.n]
+            loc_i = jnp.asarray(loc.reshape([self.n if i % 2 else 1 for i in range(2 * dim)]), self.dtype)
+            tiled = jnp.broadcast_to(
+                loc_i,
+                tuple(x for c in cells for x in (c, self.n)),
+            )
+            diag = scatter_cells(tiled, self.n)
+        else:
+            # contraction of the full coefficient with per-axis factor tables
+            dim = self.dim
+            comps = sym_components(dim)
+            C = self.coef.array
+            diag = None
+            for s, (a, bb) in enumerate(comps):
+                # F^e[q,i] = T_a[q,i] * T_b[q,i] per axis (T = S or D_col@S=D)
+                term = C[..., s] * (1.0 if a == bb else 2.0)
+                for e in range(dim):
+                    Ta = b.D if a == e else b.S
+                    Tb = b.D if bb == e else b.S
+                    F = jnp.asarray(Ta * Tb, self.dtype)  # (nq, n)
+                    term = apply_1d(term, F.T, 2 * e + 1)
+                diag = term if diag is None else diag + term
+            diag = scatter_cells(diag, self.n)
+        diag = jnp.where(self.interior, diag, 1.0)
+        return 1.0 / diag
+
+    # ------------------------------------------------------------ analysis
+    def interpolate_to_quad(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self._to_quad(gather_cells(u, self.n))
+
+    def l2_error(self, u: jnp.ndarray, exact_quad: jnp.ndarray) -> jnp.ndarray:
+        """Volume-weighted L2 error against exact values at quad points
+        (/root/reference/common/multigrid_solver.h:298-343)."""
+        jxw = self.w3d * self.grid.jxw_scalar
+        uq = self.interpolate_to_quad(u)
+        err = jnp.sum((uq - exact_quad) ** 2 * jxw)
+        vol = jnp.sum(jnp.broadcast_to(jxw, uq.shape))
+        return jnp.sqrt(err / vol)

@@ -1,0 +1,53 @@
+"""Preconditioned conjugate gradients with deal.II ``SolverCG`` +
+``ReductionControl`` semantics (/root/reference/common/multigrid_solver.h:483-493):
+stop when ||r|| < max(abs_tol, rtol * ||r0||), report iteration count and the
+final relative residual.  Implemented as a jittable ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    initial_norm: jnp.ndarray
+    final_norm: jnp.ndarray
+
+
+def cg_solve(
+    A: Callable,
+    b: jnp.ndarray,
+    precond: Callable,
+    max_iterations: int = 1000,
+    abs_tol: float = 1e-16,
+    rtol: float = 1e-9,
+) -> CGResult:
+    norm0 = jnp.linalg.norm(b)
+    tol = jnp.maximum(abs_tol, rtol * norm0)
+
+    z = precond(b)
+    state = (jnp.zeros_like(b), b, z, jnp.vdot(b, z), jnp.array(0), norm0)
+
+    def cond(s):
+        _, _, _, _, it, res = s
+        return (res > tol) & (it < max_iterations)
+
+    def body(s):
+        x, r, p, rz, it, _ = s
+        q = A(p)
+        alpha = rz / jnp.vdot(p, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        res = jnp.linalg.norm(r)
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new, it + 1, res)
+
+    x, r, p, rz, it, res = jax.lax.while_loop(cond, body, state)
+    return CGResult(x=x, iterations=it, initial_norm=norm0, final_norm=res)

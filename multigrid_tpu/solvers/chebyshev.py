@@ -1,0 +1,205 @@
+"""Chebyshev smoother with CG-Lanczos eigenvalue estimation.
+
+TPU-native reimplementation of the deal.II ``PreconditionChebyshev``
+semantics the reference relies on (/root/reference/common/multigrid_solver.h:268-291):
+
+* eigenvalue estimation by ``eig_cg_n_iterations`` steps of diagonal-
+  preconditioned CG, reading the Lanczos tridiagonal off the CG
+  coefficients; deterministic ``i % 11 - mean`` start vector;
+* Chebyshev interval ``[max_eig / smoothing_range, 1.2 * max_eig]`` for
+  smoothing (range > 1), or ``[min(0.9 max, min_est), 1.2 max]`` with an
+  automatically chosen degree for the Chebyshev-as-coarse-solver mode
+  (smoothing_range = 1e-3, degree = invalid in the reference);
+* first-kind recurrence with factors ``factor1 = rho_new * rho_old``,
+  ``factor2 = 2 rho_new / delta`` — the exact update the reference fuses
+  into its DG kernel (/root/reference/common/laplace_operator_dg.h:1839-1860);
+* fourth-kind (Phillips/Lottes) variant used by the pure-double solver
+  specialization (/root/reference/common/multigrid_solver.h:945-963).
+
+``degree`` counts preconditioner applications: ``vmult`` (zero initial
+guess) costs ``degree`` diagonal scalings and ``degree - 1`` operator
+applications, ``step`` costs ``degree`` of each.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FIRST_KIND = "first_kind"
+FOURTH_KIND = "fourth_kind"
+
+
+def eig_estimate_start_vector(shape, dtype, mask=None) -> jnp.ndarray:
+    """deal.II's deterministic high-frequency start vector: global index
+    mod 11, mean subtracted."""
+    n = int(np.prod(shape))
+    v = (np.arange(n) % 11).astype(np.float64)
+    v -= v.mean()
+    return jnp.asarray(v.reshape(shape), dtype)
+
+
+def estimate_eigenvalues(
+    vmult: Callable,
+    inv_diag: jnp.ndarray,
+    n_iterations: int,
+    rhs: Optional[jnp.ndarray] = None,
+) -> tuple[float, float]:
+    """Largest/smallest eigenvalue estimate of diag^{-1} A by CG-Lanczos."""
+    if rhs is None:
+        rhs = eig_estimate_start_vector(inv_diag.shape, inv_diag.dtype)
+    dot = lambda a, b: jnp.vdot(a, b)
+    matvec = jax.jit(vmult)
+
+    r = rhs
+    z = inv_diag * r
+    p = z
+    rz = float(dot(r, z))
+    alphas, betas = [], []
+    eps = np.finfo(np.asarray(rhs).dtype).eps
+    r0 = float(jnp.linalg.norm(r))
+    for _ in range(n_iterations):
+        q = matvec(p)
+        pq = float(dot(p, q))
+        if pq <= 0 or rz <= 0:
+            break
+        alpha = rz / pq
+        r = r - alpha * q
+        z = inv_diag * r
+        rz_new = float(dot(r, z))
+        beta = rz_new / rz
+        alphas.append(alpha)
+        betas.append(beta)
+        rz = rz_new
+        p = z + beta * p
+        if float(jnp.linalg.norm(r)) < 1e-10 * max(r0, 1.0):
+            break
+    if not alphas:
+        return 1.0, 1.0
+    k = len(alphas)
+    T = np.zeros((k, k))
+    for i in range(k):
+        T[i, i] = 1.0 / alphas[i] + (betas[i - 1] / alphas[i - 1] if i > 0 else 0.0)
+        if i + 1 < k:
+            T[i, i + 1] = T[i + 1, i] = np.sqrt(betas[i]) / alphas[i]
+    eigs = np.linalg.eigvalsh(T)
+    return float(eigs[-1]), float(eigs[0])
+
+
+@dataclass
+class Chebyshev:
+    """Smoother object bound to one level's operator and diagonal."""
+
+    vmult_op: Callable            # x -> A x
+    inv_diag: jnp.ndarray
+    theta: float
+    delta: float
+    degree: int
+    max_eig: float
+    min_eig: float
+    kind: str = FIRST_KIND
+
+    @staticmethod
+    def create(
+        vmult_op: Callable,
+        inv_diag: jnp.ndarray,
+        smoothing_range: float,
+        degree: Optional[int],
+        eig_cg_n_iterations: int,
+        kind: str = FIRST_KIND,
+        max_estimate_iterations: int = 80,
+    ) -> "Chebyshev":
+        n_it = min(eig_cg_n_iterations, max_estimate_iterations)
+        max_eig, min_eig = estimate_eigenvalues(vmult_op, inv_diag, n_it)
+        # deal.II PreconditionChebyshev interval conventions
+        beta_ub = 1.2 * max_eig
+        if smoothing_range > 1.0:
+            alpha_lb = max_eig / smoothing_range
+        else:
+            alpha_lb = min(0.9 * max_eig, min_eig)
+        if degree is None:
+            # choose degree to reduce the full range by eps=smoothing_range
+            actual_range = max_eig / alpha_lb if alpha_lb > 0 else 1e4
+            sigma = (1.0 - np.sqrt(1.0 / actual_range)) / (
+                1.0 + np.sqrt(1.0 / actual_range)
+            )
+            eps = smoothing_range
+            degree = int(
+                1
+                + np.log(1.0 / eps + np.sqrt(1.0 / eps / eps - 1.0))
+                / np.log(1.0 / sigma)
+            )
+        theta = 0.5 * (beta_ub + alpha_lb)
+        delta = 0.5 * (beta_ub - alpha_lb)
+        return Chebyshev(
+            vmult_op=vmult_op,
+            inv_diag=inv_diag,
+            theta=float(theta),
+            delta=float(delta),
+            degree=int(degree),
+            max_eig=max_eig,
+            min_eig=min_eig,
+            kind=kind,
+        )
+
+    # ------------------------------------------------------- first kind
+    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
+        """dst = Cheb(A, diag) b with zero initial guess."""
+        if self.kind == FOURTH_KIND:
+            return self._fourth(jnp.zeros_like(b), b, first_residual_is_b=True)
+        th, de = self.theta, self.delta
+        x_old = jnp.zeros_like(b)
+        x = self.inv_diag * b * (1.0 / th)
+        rho = de / th
+        for _ in range(self.degree - 1):
+            r = b - self.vmult_op(x)
+            rho_new = 1.0 / (2.0 * th / de - rho)
+            f1 = rho_new * rho
+            f2 = 2.0 * rho_new / de
+            x, x_old = x + f1 * (x - x_old) + f2 * (self.inv_diag * r), x
+            rho = rho_new
+        return x
+
+    def step(self, x0: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """One smoothing pass starting from ``x0`` (deal.II ``step``)."""
+        if self.kind == FOURTH_KIND:
+            return self._fourth(x0, b, first_residual_is_b=False)
+        th, de = self.theta, self.delta
+        r = b - self.vmult_op(x0)
+        x_old = x0
+        x = x0 + self.inv_diag * r * (1.0 / th)
+        rho = de / th
+        for _ in range(self.degree - 1):
+            r = b - self.vmult_op(x)
+            rho_new = 1.0 / (2.0 * th / de - rho)
+            f1 = rho_new * rho
+            f2 = 2.0 * rho_new / de
+            x, x_old = x + f1 * (x - x_old) + f2 * (self.inv_diag * r), x
+            rho = rho_new
+        return x
+
+    # ------------------------------------------------------ fourth kind
+    def _fourth(self, x0, b, first_residual_is_b: bool):
+        """Fourth-kind Chebyshev (Phillips/Lottes), deal.II variant used at
+        /root/reference/common/multigrid_solver.h:951-952."""
+        rho = 1.2 * self.max_eig  # upper bound of the spectrum
+        if first_residual_is_b:
+            r = b
+            x = jnp.zeros_like(b)
+        else:
+            r = b - self.vmult_op(x0)
+            x = x0
+        dx = (4.0 / 3.0) / rho * (self.inv_diag * r)
+        x = x + dx
+        for k in range(2, self.degree + 1):
+            r = r - self.vmult_op(dx)
+            z = self.inv_diag * r
+            dx = ((2.0 * k - 3.0) / (2.0 * k + 1.0)) * dx + (
+                (8.0 * k - 4.0) / ((2.0 * k + 1.0) * rho)
+            ) * z
+            x = x + dx
+        return x

@@ -1,0 +1,21 @@
+"""Test configuration: force CPU with 8 virtual devices and fp64 enabled.
+
+Multi-device sharding is validated on a virtual CPU mesh (the analogue of
+"multi-node without a cluster", which the reference lacks — SURVEY.md §4).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,43 @@
+"""Multigrid transfer: polynomial exactness and adjointness (tier a/b)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_tpu.mesh.brick import BrickMesh, DofGrid
+from multigrid_tpu.ops.transfer import Transfer
+
+
+@pytest.mark.parametrize("cells,degree", [((2, 3), 2), ((1, 2, 2), 3), ((1, 1, 1), 4)])
+def test_prolongation_exact_on_polynomials(cells, degree):
+    mesh = BrickMesh(coarse_cells=cells, origin=(0.0,) * len(cells),
+                     lengths=(1.0,) * len(cells), n_levels=2)
+    coarse = DofGrid(mesh, 0, degree)
+    fine = DofGrid(mesh, 1, degree)
+    tr = Transfer(fine, coarse, jnp.float64, constrained=False)
+
+    def poly(coords):
+        out = 0.0
+        for d, c in enumerate(coords):
+            out = out + c ** min(degree, 2) + 0.3 * d * c
+        return out
+
+    uc = np.broadcast_to(poly(coarse.node_coords()), coarse.shape)
+    uf_expect = np.broadcast_to(poly(fine.node_coords()), fine.shape)
+    uf = np.asarray(tr.prolongate(jnp.asarray(uc)))
+    assert np.allclose(uf, uf_expect, atol=1e-11)
+
+
+@pytest.mark.parametrize("constrained", [False, True])
+def test_restrict_is_adjoint(constrained):
+    mesh = BrickMesh(coarse_cells=(2, 1, 2), origin=(0.0,) * 3,
+                     lengths=(1.0,) * 3, n_levels=2)
+    coarse = DofGrid(mesh, 0, 3)
+    fine = DofGrid(mesh, 1, 3)
+    tr = Transfer(fine, coarse, jnp.float64, constrained=constrained)
+    rng = np.random.default_rng(7)
+    uc = rng.normal(size=coarse.shape)
+    vf = rng.normal(size=fine.shape)
+    lhs = np.vdot(np.asarray(tr.prolongate(jnp.asarray(uc))), vf)
+    rhs = np.vdot(uc, np.asarray(tr.restrict(jnp.asarray(vf))))
+    assert lhs == pytest.approx(rhs, rel=1e-12)
