@@ -112,11 +112,18 @@ class MultigridSolver:
         for l in range(L):
             inv_diag = self.ops[l].inverse_diagonal()
             if l > self.minlevel:
+                # NOTE on the degree: the observable behavior of the reference
+                # (two-grid reduction 0.109 at 729 dofs, cg_its = 8, and the
+                # smoother/matvec wall-time ratios in README.md:110-124) pins
+                # deal.II's ``degree = n_pre`` smoother to a Chebyshev error
+                # polynomial of degree 2*n_pre per smoothing pass; a plain
+                # T_{n_pre} polynomial on [max/20, 1.2 max] gives two-grid
+                # 0.48 and cg_its = 13, far off the reference transcript.
                 sm = Chebyshev.create(
                     self.ops[l].vmult,
                     inv_diag,
                     smoothing_range=20.0,
-                    degree=n_pre,
+                    degree=2 * n_pre,
                     eig_cg_n_iterations=15,
                     kind=FIRST_KIND,
                 )
@@ -135,6 +142,21 @@ class MultigridSolver:
         self._cg_jit = None
         self._vmult_dp_jit = None
         self._vmult_sp_jit = None
+        self._vcycle_jits = {}
+        self._resid_jits = {}
+
+    def _vcycle_jit(self, level: int, n_cyc: int):
+        key = (level, n_cyc)
+        if key not in self._vcycle_jits:
+            self._vcycle_jits[key] = jax.jit(
+                lambda d, _l=level, _n=n_cyc: self.v_cycle(_l, d, _n)
+            )
+        return self._vcycle_jits[key]
+
+    def _residual_jit(self, level: int):
+        if level not in self._resid_jits:
+            self._resid_jits[level] = jax.jit(self.ops_dp[level].vmult_residual)
+        return self._resid_jits[level]
 
     # ------------------------------------------------------------- v-cycle
     def v_cycle(self, level: int, defect: jnp.ndarray, n_cyc: int) -> jnp.ndarray:
@@ -188,21 +210,22 @@ class MultigridSolver:
         report = []
         sol = None
         d0 = self.rhs[0].astype(self.v_dtype)
-        t = self.smoothers[0].vmult(d0)
-        t = self.smoothers[0].step(t, d0)
+        coarse = self._vcycle_jit(0, 1)
+        t = coarse(d0)
+        t = jax.jit(self.smoothers[0].step)(t, d0)
         sol = t.astype(self.f_dtype)
         reduction = 1.0
         for l in range(1, self.maxlevel + 1):
             sol_bc = jnp.where(self.bmask[l - 1], self.u_bc[l - 1], sol)
-            sol = self.transfers_nobc[l].prolongate(sol_bc)
+            sol = jax.jit(self.transfers_nobc[l].prolongate)(sol_bc)
             err_start = self.l2_error(l, sol)
             sol = jnp.where(self.bmask[l], 0.0, sol)
-            res = self.ops_dp[l].vmult_residual(self.rhs[l], sol)
+            res = self._residual_jit(l)(self.rhs[l], sol)
             res_start = float(jnp.linalg.norm(res))
-            upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles)
+            upd = self._vcycle_jit(l, self.n_cycles)(res.astype(self.v_dtype))
             sol = sol + upd.astype(self.f_dtype)
             res_end = float(
-                jnp.linalg.norm(self.ops_dp[l].vmult_residual(self.rhs[l], sol))
+                jnp.linalg.norm(self._residual_jit(l)(self.rhs[l], sol))
             )
             err_end = self.l2_error(l, sol)
             reduction = (res_end / res_start) ** (1.0 / self.n_cycles)

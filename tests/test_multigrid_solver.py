@@ -25,7 +25,7 @@ def test_fmg_discretization_accuracy(solver8):
     sol = solver8.solve()
     err = solver8.l2_error(solver8.maxlevel, sol)
     # reference fmg_L2error = 4.037e-4 at 35937 dofs (README.md:143)
-    assert err < 6.0e-4
+    assert err < 5.0e-4
     assert err > 2.0e-4
 
 
