@@ -1,0 +1,133 @@
+"""Double-float (two-float32) compensated arithmetic for the dp operator path.
+
+TPU MXU/VPU have no native fp64; XLA's f64 emulation of the sum-factorized
+contractions is ~100x slower than fp32 on this hardware (measured).  This
+module implements the classic double-double technique on float32 pairs
+(Dekker splitting + compensated sums, no FMA required), giving ~2^-45
+relative accuracy — more than enough for the reference's dp targets
+(CG rtol 1e-9, L2 errors ~4e-10, /root/reference/README.md:159) — while
+staying on the fast f32 vector units.
+
+This is the "double-double via MXU where profitable" plan from SURVEY.md §7
+(hard part 5): the contraction length is p+1 (tiny), so the VPU broadcast
+form below is the MXU-free sweet spot; all ops fuse under XLA.
+
+Convention: a df64 value is a pair (hi, lo) of f32 arrays with
+|lo| <= ulp(hi)/2; hi + lo represents the value.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+_SPLITTER = np.float32(4097.0)  # 2^12 + 1 for f32 Dekker splitting
+
+
+def split_f64(x) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f64 array -> (hi, lo) f32 pair with hi = f32(x), lo = f32(x - hi)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def join_f64(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def _dekker_split(a):
+    t = _SPLITTER * a
+    ahi = t - (t - a)
+    alo = a - ahi
+    return ahi, alo
+
+
+def two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def quick_two_sum(a, b):
+    """Requires |a| >= |b| (or a == 0)."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def two_prod(a, b, bhi=None, blo=None):
+    """Exact product a*b = p + err in f32 (Dekker, no FMA).
+
+    ``bhi/blo`` may carry a precomputed Dekker split of ``b``.
+    """
+    p = a * b
+    ahi, alo = _dekker_split(a)
+    if bhi is None:
+        bhi, blo = _dekker_split(b)
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+def df64_add(xh, xl, yh, yl):
+    """(xh,xl) + (yh,yl), sloppy double-double addition (~2^-47)."""
+    s, e = two_sum(xh, yh)
+    e = e + (xl + yl)
+    return quick_two_sum(s, e)
+
+
+def df64_mul_f64const(xh, xl, c: float):
+    """df64 * exact f64 scalar constant."""
+    ch = np.float32(c)
+    cl = np.float32(c - float(ch))
+    p, e = two_prod(xh, ch)
+    e = e + (xh * cl + xl * ch)
+    return quick_two_sum(p, e)
+
+
+class SplitMatrix:
+    """An exact f64 matrix pre-split for df64 contractions."""
+
+    def __init__(self, M: np.ndarray):
+        M = np.asarray(M, np.float64)
+        self.n_out, self.n_in = M.shape
+        hi = M.astype(np.float32)
+        lo = (M - hi.astype(np.float64)).astype(np.float32)
+        self.hi = jnp.asarray(hi)
+        self.lo = jnp.asarray(lo)
+        # precomputed Dekker splits of hi entries — must be evaluated in f32
+        # arithmetic (the rounding of t = 4097*a IS the mechanism)
+        t = np.float32(4097.0) * hi
+        hhi = t - (t - hi)
+        hlo = hi - hhi
+        self.hi_split = (jnp.asarray(hhi), jnp.asarray(hlo))
+
+
+def apply_1d_df64(wh: jnp.ndarray, wl: jnp.ndarray, M: SplitMatrix, axis: int):
+    """df64 contraction of M[n_out, n_in] against ``axis`` of (wh, wl).
+
+    Unrolled over the (small) contraction index; each term is an exact
+    two_prod with compensated accumulation, all elementwise on the VPU and
+    fusable by XLA.  The df64 replacement of :func:`ops.laplace.apply_1d`.
+    """
+    axis = axis % wh.ndim
+    # move contraction axis last for clean broadcasting
+    xh = jnp.moveaxis(wh, axis, -1)
+    xl = jnp.moveaxis(wl, axis, -1)
+    out_shape_tail = (M.n_out,)
+    bshape = (1,) * (xh.ndim - 1)
+    sh = sl = None
+    for i in range(M.n_in):
+        a_h = xh[..., i : i + 1]
+        a_l = xl[..., i : i + 1]
+        mh = M.hi[:, i].reshape(bshape + out_shape_tail)
+        ml = M.lo[:, i].reshape(bshape + out_shape_tail)
+        mhh = M.hi_split[0][:, i].reshape(bshape + out_shape_tail)
+        mhl = M.hi_split[1][:, i].reshape(bshape + out_shape_tail)
+        p, e = two_prod(a_h, mh, bhi=mhh, blo=mhl)
+        e = e + (a_h * ml + a_l * mh)
+        if sh is None:
+            sh, sl = quick_two_sum(p, e)
+        else:
+            sh, sl = df64_add(sh, sl, p, e)
+    return jnp.moveaxis(sh, -1, axis), jnp.moveaxis(sl, -1, axis)
