@@ -23,7 +23,7 @@ def main():
     import numpy as np
 
     from multigrid_tpu.mesh.brick import DofGrid, poisson_cube_mesh
-    from multigrid_tpu.ops.laplace import LaplaceOperator
+    from multigrid_tpu.ops.laplace_dense import DenseLaplaceOzaki
 
     degree = 4
     # pick the largest ladder size that fits comfortably in one chip's HBM
@@ -33,7 +33,7 @@ def main():
         try:
             mesh = poisson_cube_mesh(size)
             grid = DofGrid(mesh, mesh.max_level, degree)
-            op = LaplaceOperator(grid, jnp.float64)
+            op = DenseLaplaceOzaki(grid)
             vmult = jax.jit(op.vmult)
             x = jnp.asarray(
                 np.random.default_rng(0).standard_normal(grid.shape), jnp.float64

@@ -57,6 +57,8 @@ class MultigridSolver:
         n_cycles: int = 1,
         v_dtype=jnp.float32,
         f_dtype=jnp.float64,
+        sp_impl: str = "sumfac",
+        dp_impl: str = "sumfac",
     ):
         assert n_pre == n_post, "reference requires equal pre/post degree"
         self.mesh = mesh
@@ -77,6 +79,33 @@ class MultigridSolver:
             LaplaceOperator(g, f_dtype, make_diag_coef(g, coefficient))
             for g in self.grids
         ]
+        # hot-path operator implementations; the sum-factorized einsum ops
+        # above stay for setup tasks (rhs assembly, diagonals, L2 errors)
+        if sp_impl == "dense":
+            from ..ops.laplace_dense import DenseLaplaceF32
+
+            self.sp_ops = [
+                DenseLaplaceF32(g, make_diag_coef(g, coefficient))
+                for g in self.grids
+            ]
+        else:
+            self.sp_ops = self.ops
+        if dp_impl == "ozaki":
+            from ..ops.laplace_dense import DenseLaplaceOzaki
+
+            self.dp_ops = [
+                DenseLaplaceOzaki(g, make_diag_coef(g, coefficient))
+                for g in self.grids
+            ]
+        elif dp_impl == "df64":
+            from ..ops.laplace_df64 import LaplaceOperatorDF64
+
+            self.dp_ops = [
+                LaplaceOperatorDF64(g, make_diag_coef(g, coefficient))
+                for g in self.grids
+            ]
+        else:
+            self.dp_ops = self.ops_dp
         # constrained transfer (V-cycle, sp) and unconstrained (solution, dp)
         self.transfers = [None] + [
             Transfer(self.grids[l], self.grids[l - 1], v_dtype, constrained=True)
@@ -120,7 +149,7 @@ class MultigridSolver:
                 # T_{n_pre} polynomial on [max/20, 1.2 max] gives two-grid
                 # 0.48 and cg_its = 13, far off the reference transcript.
                 sm = Chebyshev.create(
-                    self.ops[l].vmult,
+                    self.sp_ops[l].vmult,
                     inv_diag,
                     smoothing_range=20.0,
                     degree=2 * n_pre,
@@ -129,7 +158,7 @@ class MultigridSolver:
                 )
             else:
                 sm = Chebyshev.create(
-                    self.ops[l].vmult,
+                    self.sp_ops[l].vmult,
                     inv_diag,
                     smoothing_range=1e-3,
                     degree=None,
@@ -155,7 +184,7 @@ class MultigridSolver:
 
     def _residual_jit(self, level: int):
         if level not in self._resid_jits:
-            self._resid_jits[level] = jax.jit(self.ops_dp[level].vmult_residual)
+            self._resid_jits[level] = jax.jit(self.dp_ops[level].vmult_residual)
         return self._resid_jits[level]
 
     # ------------------------------------------------------------- v-cycle
@@ -169,7 +198,7 @@ class MultigridSolver:
                 upd = self.smoothers[level].vmult(defect)
             else:
                 upd = self.smoothers[level].step(upd, defect)
-            t = self.ops[level].vmult_residual(defect, upd)
+            t = self.sp_ops[level].vmult_residual(defect, upd)
             dc = self.transfers[level].restrict(t)
             corr = self.v_cycle(level - 1, dc, 1)
             upd = upd + self.transfers[level].prolongate(corr)
@@ -189,7 +218,7 @@ class MultigridSolver:
             sol_bc = jnp.where(self.bmask[l - 1], self.u_bc[l - 1], sol)
             sol = self.transfers_nobc[l].prolongate(sol_bc)
             sol = jnp.where(self.bmask[l], 0.0, sol)
-            res = self.ops_dp[l].vmult_residual(self.rhs[l], sol)
+            res = self.dp_ops[l].vmult_residual(self.rhs[l], sol)
             upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles)
             sol = sol + upd.astype(self.f_dtype)
             sols.append(sol)
@@ -257,7 +286,7 @@ class MultigridSolver:
             self._cg_jit = jax.jit(
                 partial(
                     cg_solve,
-                    self.ops_dp[self.maxlevel].vmult,
+                    self.dp_ops[self.maxlevel].vmult,
                     precond=self._precond,
                     max_iterations=max_iterations,
                     abs_tol=abs_tol,
@@ -280,11 +309,11 @@ class MultigridSolver:
     def do_matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """dp matvec benchmark entry (multigrid_solver.h:623-628)."""
         if self._vmult_dp_jit is None:
-            self._vmult_dp_jit = jax.jit(self.ops_dp[self.maxlevel].vmult)
+            self._vmult_dp_jit = jax.jit(self.dp_ops[self.maxlevel].vmult)
         return self._vmult_dp_jit(x)
 
     def do_matvec_smoother(self, x: jnp.ndarray) -> jnp.ndarray:
         """sp matvec benchmark entry (multigrid_solver.h:632-637)."""
         if self._vmult_sp_jit is None:
-            self._vmult_sp_jit = jax.jit(self.ops[self.maxlevel].vmult)
+            self._vmult_sp_jit = jax.jit(self.sp_ops[self.maxlevel].vmult)
         return self._vmult_sp_jit(x)
