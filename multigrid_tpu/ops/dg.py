@@ -1,0 +1,289 @@
+"""Fused cell-centric SIP-DG Laplace operator on structured meshes.
+
+TPU-native re-design of the reference's ``LaplaceOperatorCompactCombine``
+(/root/reference/common/laplace_operator_dg.h:350-2024): one pass evaluates
+cell gradients, extracts own/neighbor face traces, applies the SIP flux and
+lifts everything back.  Where the reference hand-schedules SIMD lanes, MPI
+ghost packs and OpenMP ranges, here neighbor traces are one-cell shifts of
+dense trace arrays (XLA slice/concat; halo collective-permutes under
+sharding) and the whole pipeline is a fused batched-tensor program.
+
+Layout: DG dof vectors are ``[C0, ..., C_{dim-1}, n, ..., n]`` block arrays
+(cell axes leading, node axes trailing) — duplicated face dofs do not exist
+(discontinuous), so no scatter is needed at all.
+
+Supported geometry: constant (affine) Jacobian per level, including the
+sheared parallelepiped of the matvec_dg benchmark
+(/root/reference/matvec_dg/program.cc:66-76).
+
+Dirichlet boundary: mirror convention ``u+ = -u-``, ``du+ = du-``
+(/root/reference/common/laplace_operator_dg.h:1469-1485); penalty
+``sigma = (p+1)^2 |n J^{-1}|`` with penalty_factor = 1
+(/root/reference/common/laplace_operator_dg.h:45-47, 789-793).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.dg_basis import DGBasis1D, GAUSS, make_dg_basis
+
+
+@dataclass(frozen=True)
+class DGGrid:
+    """One level of a DG discretization on an affine-image structured mesh."""
+
+    cells: tuple[int, ...]
+    jacobian: tuple[tuple[float, ...], ...]   # constant dim x dim cell map J
+    degree: int
+    kind: str = GAUSS
+
+    @property
+    def dim(self) -> int:
+        return len(self.cells)
+
+    @cached_property
+    def basis(self) -> DGBasis1D:
+        return make_dg_basis(self.degree, self.kind)
+
+    @property
+    def n(self) -> int:
+        return self.degree + 1
+
+    @property
+    def n_dofs(self) -> int:
+        return int(np.prod(self.cells)) * self.n**self.dim
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.cells + (self.n,) * self.dim
+
+    @cached_property
+    def J(self) -> np.ndarray:
+        return np.asarray(self.jacobian, np.float64)
+
+    def coarse(self) -> "DGGrid":
+        assert all(c % 2 == 0 for c in self.cells)
+        J2 = self.J @ np.diag([2.0] * self.dim)
+        return DGGrid(
+            cells=tuple(c // 2 for c in self.cells),
+            jacobian=tuple(tuple(row) for row in J2),
+            degree=self.degree,
+            kind=self.kind,
+        )
+
+
+class DGLaplace:
+    """SIP-DG A·u with fused cell+face evaluation."""
+
+    def __init__(self, grid: DGGrid, dtype=jnp.float32):
+        self.grid = grid
+        self.dtype = dtype
+        b = grid.basis
+        dim = grid.dim
+        n = grid.n
+        self.dim, self.n = dim, n
+        self.S = jnp.asarray(b.S, dtype)
+        self.St = jnp.asarray(b.S.T, dtype)
+        self.Si = jnp.asarray(b.S_inv, dtype)
+        self.D = jnp.asarray(b.D_col, dtype)
+        self.Dt = jnp.asarray(b.D_col.T, dtype)
+        self.f = [jnp.asarray(b.f0, dtype), jnp.asarray(b.f1, dtype)]
+        self.is_collocation = grid.kind == GAUSS
+
+        J = grid.J
+        Jinv = np.linalg.inv(J)
+        detJ = abs(np.linalg.det(J))
+        self.detJ = detJ
+        G = Jinv @ Jinv.T                       # metric for ref-space grads
+        self.Gsym = detJ * G                    # merged volume coefficient
+        self.face = []
+        for d in range(dim):
+            r = Jinv.T[:, d]                    # J^{-T} e_d
+            rn = np.linalg.norm(r)
+            n_unit = r / rn
+            sigma = n**2 * np.linalg.norm(n_unit @ Jinv)
+            self.face.append(
+                dict(
+                    jxw=detJ * rn,              # face area factor
+                    gvec=G[d] / rn,             # n.grad = sign * gvec . grad_ref
+                    sigma=sigma,
+                )
+            )
+        qw = b.quad_weights
+        # volume weight product and per-face perpendicular weight products
+        w3 = np.ones((1,) * dim)
+        for d in range(dim):
+            s = [1] * dim
+            s[d] = n
+            w3 = w3 * qw.reshape(s)
+        self.w3d = jnp.asarray(w3, dtype)       # broadcast over node axes
+        self.wperp = []
+        for d in range(dim):
+            wp = np.ones((1,) * (dim - 1))
+            k = 0
+            for e in range(dim):
+                if e == d:
+                    continue
+                s = [1] * (dim - 1)
+                s[k] = n
+                wp = wp * qw.reshape(s)
+                k += 1
+            self.wperp.append(jnp.asarray(wp, dtype))
+
+    # ------------------------------------------------------------- helpers
+    def _sweep(self, u, M):
+        for d in range(self.dim):
+            u = self._apply(u, M, d)
+        return u
+
+    def _apply(self, u, M, d):
+        axis = self.dim + d
+        nd = u.ndim
+        in_subs = list(range(nd))
+        out_subs = list(range(nd))
+        out_subs[axis] = nd
+        return jnp.einsum(u, in_subs, M, [nd, axis], out_subs)
+
+    def _trace(self, a, d, side):
+        """Contract node axis d with the face vector -> face trace array."""
+        axis = self.dim + d
+        nd = a.ndim
+        in_subs = list(range(nd))
+        out_subs = [i for i in range(nd) if i != axis]
+        return jnp.einsum(a, in_subs, self.f[side], [axis], out_subs)
+
+    def _lift(self, t, d, side):
+        """Adjoint of _trace: outer product with the face vector."""
+        axis = self.dim + d
+        vec = self.f[side].reshape((1,) * axis + (self.n,) + (1,) * (self.dim - 1 - d))
+        return jnp.expand_dims(t, axis) * vec
+
+    def _neighbor(self, tr_opp, own, d, side):
+        """Neighbor trace across face (d, side); domain boundary uses the
+        Dirichlet mirror of ``own``."""
+        if side == 1:
+            inner = jax.lax.slice_in_dim(tr_opp, 1, tr_opp.shape[d], axis=d)
+            mirror = -jax.lax.slice_in_dim(own, own.shape[d] - 1, own.shape[d], axis=d)
+            return jnp.concatenate([inner, mirror], axis=d)
+        inner = jax.lax.slice_in_dim(tr_opp, 0, tr_opp.shape[d] - 1, axis=d)
+        mirror = -jax.lax.slice_in_dim(own, 0, 1, axis=d)
+        return jnp.concatenate([mirror, inner], axis=d)
+
+    def _neighbor_grad(self, tr_opp, own, d, side):
+        """Same shift for normal-derivative traces: mirror keeps the value
+        (u+ = -u-, n.grad u+ = n.grad u-)."""
+        if side == 1:
+            inner = jax.lax.slice_in_dim(tr_opp, 1, tr_opp.shape[d], axis=d)
+            mirror = jax.lax.slice_in_dim(own, own.shape[d] - 1, own.shape[d], axis=d)
+            return jnp.concatenate([inner, mirror], axis=d)
+        inner = jax.lax.slice_in_dim(tr_opp, 0, tr_opp.shape[d] - 1, axis=d)
+        mirror = jax.lax.slice_in_dim(own, 0, 1, axis=d)
+        return jnp.concatenate([mirror, inner], axis=d)
+
+    # --------------------------------------------------------------- vmult
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """y = A u (full SIP operator); cf. vmult_with_merged_ops action 0
+        (/root/reference/common/laplace_operator_dg.h:963-1108)."""
+        dim, n = self.dim, self.n
+        v = u if self.is_collocation else self._sweep(u, self.S)
+        g = [self._apply(v, self.D, d) for d in range(dim)]
+
+        # volume term: acc_e = sum_f Gsym[e,f] g_f * w3d
+        acc = []
+        for e in range(dim):
+            t = None
+            for f_ in range(dim):
+                term = self.Gsym[e, f_] * g[f_]
+                t = term if t is None else t + term
+            acc.append(t * self.w3d)
+        vacc = jnp.zeros_like(v)
+
+        for d in range(dim):
+            fd = self.face[d]
+            # own and opposite-side traces of value and gradients
+            tr_u = [self._trace(v, d, s) for s in (0, 1)]
+            tr_gn = []
+            for s in (0, 1):
+                t = None
+                for e in range(dim):
+                    term = fd["gvec"][e] * self._trace(g[e], d, s)
+                    t = term if t is None else t + term
+                tr_gn.append(t)  # gvec . grad_ref at face s (no sign yet)
+            for s in (0, 1):
+                sign = 1.0 if s == 1 else -1.0
+                u_m = tr_u[s]
+                gn_m = sign * tr_gn[s]
+                u_p = self._neighbor(tr_u[1 - s], u_m, d, s)
+                gn_p = sign * self._neighbor_grad(tr_gn[1 - s], sign * gn_m, d, s)
+                jump = u_m - u_p
+                t_val = fd["sigma"] * jump - 0.5 * (gn_m + gn_p)
+                t_gr = -0.5 * jump
+                wf = fd["jxw"] * self.wperp[d]
+                vacc = vacc + self._lift(t_val * wf, d, s)
+                for e in range(dim):
+                    acc[e] = acc[e] + self._lift(
+                        t_gr * wf * (sign * fd["gvec"][e]), d, s
+                    )
+
+        y = vacc
+        for e in range(dim):
+            y = y + self._apply(acc[e], self.Dt, e)
+        return y if self.is_collocation else self._sweep(y, self.St)
+
+    def vmult(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(u)
+
+    def vmult_residual(self, rhs: jnp.ndarray, lhs: jnp.ndarray) -> jnp.ndarray:
+        return rhs - self.apply(lhs)
+
+    # ----------------------------------------------------------------- rhs
+    def compute_rhs(self, f_quad: jnp.ndarray, g_bc=None) -> jnp.ndarray:
+        """b = (f, phi) plus weak Dirichlet data ``g``:
+        sum_bdryF (g, sigma phi - n.grad phi).
+
+        ``f_quad``: rhs values on the block quad layout [C..., nq...];
+        ``g_bc``: optional per-face boundary values, dict (d, side) -> array
+        of face-trace shape.
+        """
+        b = f_quad.astype(self.dtype) * (self.w3d * self.detJ)
+        acc = [jnp.zeros(self.grid.shape, self.dtype) for _ in range(self.dim)]
+        vacc = b
+        if g_bc is not None:
+            for (d, s), gval in g_bc.items():
+                fd = self.face[d]
+                sign = 1.0 if s == 1 else -1.0
+                wf = fd["jxw"] * self.wperp[d]
+                # select only the boundary cell layer along axis d
+                mask_shape = [1] * (self.dim * 2 - 1)
+                mask_shape[d] = self.grid.cells[d]
+                lay = np.zeros(self.grid.cells[d])
+                lay[-1 if s == 1 else 0] = 1.0
+                mask = jnp.asarray(lay.reshape(mask_shape), self.dtype)
+                t_val = 2.0 * fd["sigma"] * gval * mask
+                t_gr = -gval * mask
+                vacc = vacc + self._lift(t_val * wf, d, s)
+                for e in range(self.dim):
+                    acc[e] = acc[e] + self._lift(
+                        t_gr * wf * (sign * fd["gvec"][e]), d, s
+                    )
+        y = vacc
+        for e in range(self.dim):
+            y = y + self._apply(acc[e], self.Dt, e)
+        return y if self.is_collocation else self._sweep(y, self.St)
+
+    # ------------------------------------------------------------ analysis
+    def to_quad_values(self, u: jnp.ndarray) -> jnp.ndarray:
+        return u if self.is_collocation else self._sweep(u, self.S)
+
+    def l2_error(self, u: jnp.ndarray, exact_quad: jnp.ndarray) -> jnp.ndarray:
+        uq = self.to_quad_values(u)
+        jxw = self.w3d * self.detJ
+        err = jnp.sum((uq - exact_quad) ** 2 * jxw)
+        vol = jnp.sum(jnp.broadcast_to(jxw, uq.shape))
+        return jnp.sqrt(err / vol)
