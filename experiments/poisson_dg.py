@@ -1,0 +1,66 @@
+"""poisson_dg experiment: 3-D SIP-DG Poisson, DG-over-CG multigrid.
+
+Port of /root/reference/poisson_dg/program.cc: FE_DGQHermite-style elements,
+outer CG at a user tolerance (default 1e-3) preconditioned by the dg_v_cycle
+(/root/reference/common/multigrid_solver_dg.h), convergence table with
+fractional iteration counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from experiments.poisson_cube import SIZES, exact_fn, rhs_fn
+from multigrid_tpu.mesh.brick import poisson_cube_mesh
+from multigrid_tpu.solvers.multigrid_dg import MultigridSolverDG
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("degree", type=int, nargs="?", default=4)
+    ap.add_argument("minsize", type=int, nargs="?", default=0)
+    ap.add_argument("maxsize", type=int, nargs="?", default=3_000_000)
+    ap.add_argument("n_mg_cycles", type=int, nargs="?", default=1)
+    ap.add_argument("n_pre_smooth", type=int, nargs="?", default=3)
+    ap.add_argument("n_post_smooth", type=int, nargs="?", default=3)
+    ap.add_argument("mesh", nargs="?", default="square")
+    ap.add_argument("tolerance", type=float, nargs="?", default=1e-3)
+    ap.add_argument("--kind", default="hermite",
+                    choices=["hermite", "gll", "gauss"])
+    ap.add_argument("--dim", type=int, default=3)
+    args = ap.parse_args()
+
+    rows = []
+    for size in SIZES:
+        mesh = poisson_cube_mesh(size, args.dim)
+        n_dofs = mesh.n_cells(mesh.max_level) * (args.degree + 1) ** args.dim
+        if n_dofs < args.minsize:
+            continue
+        if n_dofs > args.maxsize:
+            break
+        print(f"cells/dim {size}: {n_dofs} DG dofs")
+        s = MultigridSolverDG(mesh, args.degree, exact_fn, rhs_fn,
+                              kind=args.kind, n_pre=args.n_pre_smooth,
+                              n_post=args.n_post_smooth)
+        best = np.inf
+        for _ in range(4):
+            t0 = time.perf_counter()
+            sol, frac_its, rate = s.solve_cg(tolerance=args.tolerance)
+            sol.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        err = s.l2_error(sol, s.exact_quad)
+        row = dict(cells=mesh.n_cells(mesh.max_level), dofs=n_dofs,
+                   cg_time=best, cg_its=frac_its, cg_reduction=rate,
+                   cg_L2error=err)
+        print(row)
+        rows.append(row)
+
+    from multigrid_tpu.utils.tables import print_convergence_table
+    print_convergence_table(rows, dim=args.dim)
+
+
+if __name__ == "__main__":
+    main()

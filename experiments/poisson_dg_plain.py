@@ -1,0 +1,58 @@
+"""poisson_dg_plain experiment: 2-D pure-DG h-multigrid, looping over the
+three DG element types per mesh (port of
+/root/reference/poisson_dg_plain/program.cc)."""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from experiments.poisson_cube import SIZES, exact_fn, rhs_fn
+from multigrid_tpu.mesh.brick import poisson_cube_mesh
+from multigrid_tpu.solvers.multigrid_dg import MultigridSolverDGPlain
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("degree", type=int, nargs="?", default=3)
+    ap.add_argument("minsize", type=int, nargs="?", default=0)
+    ap.add_argument("maxsize", type=int, nargs="?", default=1_000_000)
+    ap.add_argument("n_pre_smooth", type=int, nargs="?", default=3)
+    ap.add_argument("tolerance", type=float, nargs="?", default=1e-3)
+    ap.add_argument("--dim", type=int, default=2)
+    args = ap.parse_args()
+
+    for kind in ("hermite", "gll", "gauss"):
+        rows = []
+        for size in SIZES:
+            if size % 2:
+                continue  # pure-DG h-MG needs at least one refinement
+            mesh = poisson_cube_mesh(size, args.dim)
+            n_dofs = mesh.n_cells(mesh.max_level) * (args.degree + 1) ** args.dim
+            if n_dofs < args.minsize:
+                continue
+            if n_dofs > args.maxsize:
+                break
+            s = MultigridSolverDGPlain(mesh, args.degree, exact_fn, rhs_fn,
+                                       kind=kind, n_pre=args.n_pre_smooth,
+                                       n_post=args.n_pre_smooth)
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sol, frac_its, rate = s.solve_cg(tolerance=args.tolerance)
+                sol.block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            row = dict(cells=mesh.n_cells(mesh.max_level), dofs=n_dofs,
+                       cg_time=best, cg_its=frac_its, cg_reduction=rate,
+                       cg_L2error=s.l2_error(sol, s.exact_quad))
+            print(kind, row)
+            rows.append(row)
+        from multigrid_tpu.utils.tables import print_convergence_table
+        print(f"=== element type: {kind}")
+        print_convergence_table(rows, dim=args.dim)
+
+
+if __name__ == "__main__":
+    main()

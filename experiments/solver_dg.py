@@ -1,0 +1,89 @@
+"""solver_dg benchmark: full CG solves on the SIP-DG system with a simple
+diagonal preconditioner at fixed iteration counts, comparing element types
+(port of /root/reference/solver_dg/program.cc: face-based vs cell-based vs
+interleaved CG there; here the fused operator under jit, where XLA performs
+the reference's hand-written vector-update interleaving automatically).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def run(degree: int, kind: str, n_cell_steps: int, n_iterations: int = 50):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from experiments.matvec_dg import run as _  # noqa: F401 (shared mesh logic)
+    from multigrid_tpu.ops.dg import DGGrid, DGLaplace
+    from multigrid_tpu.ops.dg_precond import JacobiTransformed
+
+    dim = 3
+    refinements = [1] * dim
+    for c in range(n_cell_steps % dim):
+        refinements[c] = 2
+    base = [r * 2 ** (n_cell_steps // dim) for r in refinements]
+    left = np.array([-1.0 + 0.05 * (d + 1) for d in range(dim)])
+    right = np.array([0.95 - 0.06 * d for d in range(dim)])
+    h = (right - left) / np.array(base)
+    grid = DGGrid(cells=tuple(base),
+                  jacobian=tuple(tuple(r) for r in np.diag(h)),
+                  degree=degree, kind=kind)
+    op = DGLaplace(grid, jnp.float64)
+    jac = JacobiTransformed(op, jnp.float64)
+
+    b = jnp.asarray(np.random.default_rng(0).standard_normal(grid.shape))
+
+    @jax.jit
+    def cg_fixed(b):
+        x = jnp.zeros_like(b)
+        r = b
+        z = jac.vmult(r)
+        p = z
+        rz = jnp.vdot(r, z)
+
+        def body(_, s):
+            x, r, p, rz = s
+            q = op.apply(p)
+            alpha = rz / jnp.vdot(p, q)
+            x = x + alpha * p
+            r = r - alpha * q
+            z = jac.vmult(r)
+            rz2 = jnp.vdot(r, z)
+            p = z + (rz2 / rz) * p
+            return (x, r, p, rz2)
+
+        x, r, *_ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rz))
+        return x, jnp.linalg.norm(r)
+
+    x, rn = cg_fixed(b)
+    jax.block_until_ready(x)
+    best = np.inf
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        x, rn = cg_fixed(b)
+        jax.block_until_ready(x)
+        best = min(best, time.perf_counter() - t0)
+    per_it = best / n_iterations
+    print(f"{kind:8s} p={degree} n_dof={grid.n_dofs:>10d}  {per_it:.5f} s/it "
+          f" DoFs/s/it {grid.n_dofs/per_it:.4g}  |r|={float(rn):.3e}")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--degrees", type=int, nargs="+", default=[1, 2, 3, 4])
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--kinds", nargs="+", default=["gauss"])
+    args = ap.parse_args()
+    for degree in args.degrees:
+        for kind in args.kinds:
+            run(degree, kind, args.steps)
+
+
+if __name__ == "__main__":
+    main()

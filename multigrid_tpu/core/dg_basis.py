@@ -85,6 +85,8 @@ class DGBasis1D:
     d0: np.ndarray            # (nq,) derivative-at-0 from collocation values
     d1: np.ndarray            # (nq,)
     M: np.ndarray             # (n, n) 1-D mass matrix
+    E0: np.ndarray            # (n, n) coarse coeffs -> child-0 coeffs
+    E1: np.ndarray            # (n, n) coarse coeffs -> child-1 coeffs
     sip_1d: np.ndarray        # (n, n) 1-D SIP cell matrix (interior faces both ends)
     eigvals: np.ndarray       # (n,) generalized eigenvalues of sip vs mass
     T: np.ndarray             # (n, n) eigenvectors (columns), T^T M T = I
@@ -128,6 +130,23 @@ def make_dg_basis(degree: int, kind: str = GAUSS) -> DGBasis1D:
 
     S_inv = np.linalg.inv(S)
     D_col = lagrange_derivatives(qp, qp)
+    # 2:1 child embeddings: coarse poly evaluated at the child's quad points,
+    # converted back to coefficients (the DG analogue of MGTransferMatrixFree,
+    # no node sharing so no valence weights needed)
+    if kind == GAUSS:
+        Vq0 = lagrange_values(qp, qp * 0.5)
+        Vq1 = lagrange_values(qp, 0.5 + qp * 0.5)
+    elif kind == GLL:
+        nodes_, _ = gauss_lobatto(n) if degree > 0 else (np.array([0.5]), None)
+        Vq0 = lagrange_values(nodes_, qp * 0.5)
+        Vq1 = lagrange_values(nodes_, 0.5 + qp * 0.5)
+    else:
+        B = _hermite_like_basis(degree)
+        order_fix = B  # already reordered
+        Vq0 = poly_eval(order_fix, qp * 0.5)
+        Vq1 = poly_eval(order_fix, 0.5 + qp * 0.5)
+    E0 = S_inv @ Vq0
+    E1 = S_inv @ Vq1
     f0 = lagrange_values(qp, np.array([0.0]))[0]
     f1 = lagrange_values(qp, np.array([1.0]))[0]
     d0 = lagrange_derivatives(qp, np.array([0.0]))[0]
@@ -170,6 +189,8 @@ def make_dg_basis(degree: int, kind: str = GAUSS) -> DGBasis1D:
         d0=d0,
         d1=d1,
         M=M,
+        E0=E0,
+        E1=E1,
         sip_1d=sip,
         eigvals=w,
         T=T,

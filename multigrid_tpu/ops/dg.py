@@ -98,10 +98,12 @@ class DGLaplace:
 
         J = grid.J
         Jinv = np.linalg.inv(J)
-        detJ = abs(np.linalg.det(J))
+        detJ = float(abs(np.linalg.det(J)))
         self.detJ = detJ
         G = Jinv @ Jinv.T                       # metric for ref-space grads
-        self.Gsym = detJ * G                    # merged volume coefficient
+        # store geometry constants as weak-typed python floats so they do
+        # not promote the f32 pipeline to f64 under jax_enable_x64
+        self.Gsym = [[float(detJ * G[a, b]) for b in range(dim)] for a in range(dim)]
         self.face = []
         for d in range(dim):
             r = Jinv.T[:, d]                    # J^{-T} e_d
@@ -110,9 +112,9 @@ class DGLaplace:
             sigma = n**2 * np.linalg.norm(n_unit @ Jinv)
             self.face.append(
                 dict(
-                    jxw=detJ * rn,              # face area factor
-                    gvec=G[d] / rn,             # n.grad = sign * gvec . grad_ref
-                    sigma=sigma,
+                    jxw=float(detJ * rn),       # face area factor
+                    gvec=[float(v) for v in G[d] / rn],
+                    sigma=float(sigma),
                 )
             )
         qw = b.quad_weights
@@ -199,7 +201,7 @@ class DGLaplace:
         for e in range(dim):
             t = None
             for f_ in range(dim):
-                term = self.Gsym[e, f_] * g[f_]
+                term = self.Gsym[e][f_] * g[f_]
                 t = term if t is None else t + term
             acc.append(t * self.w3d)
         vacc = jnp.zeros_like(v)

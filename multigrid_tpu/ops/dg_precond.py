@@ -1,0 +1,89 @@
+"""Transformed Jacobi preconditioner for the SIP-DG operator.
+
+TPU-native rebuild of ``JacobiTransformed``
+(/root/reference/common/laplace_operator_dg.h:2028-2256):
+``P^{-1} = T3 diag(d)^{-1} T3^T`` per cell, where T3 is the tensor product
+of the 1-D SIP eigenbasis (generalized eigenvectors of the 1-D cell matrix
+with both-end interior penalties w.r.t. the 1-D mass matrix,
+laplace_operator_dg.h:180-246) and ``d`` is the exact operator diagonal in
+that basis including the cell's own face contributions
+(laplace_operator_dg.h:2098-2247).
+
+The diagonal is extracted by the translation-invariance trick: on a uniform
+affine mesh the self-coupling block A_cc depends only on the cell's
+boundary-adjacency category (3 per axis), so a dense probe mesh of
+min(cells,3)^dim cells yields every category block exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dg import DGGrid, DGLaplace
+
+
+def _dense_matrix(op: DGLaplace):
+    grid = op.grid
+    N = grid.n_dofs
+    I = np.eye(N)
+    cols = jax.vmap(lambda e: op.apply(e.reshape(grid.shape)).reshape(-1))(
+        jnp.asarray(I, op.dtype)
+    )
+    return np.asarray(cols, np.float64).T
+
+
+class JacobiTransformed:
+    def __init__(self, op: DGLaplace, dtype=None):
+        grid = op.grid
+        dtype = dtype or op.dtype
+        self.dtype = dtype
+        dim, n = grid.dim, grid.n
+        self.dim, self.n = dim, n
+        b = grid.basis
+        self.T = jnp.asarray(b.T, dtype)          # columns = eigenvectors
+        self.Tt = jnp.asarray(b.T.T, dtype)
+
+        # probe mesh: same Jacobian, min(cells,3) cells per axis
+        probe_cells = tuple(min(c, 3) for c in grid.cells)
+        probe = DGGrid(cells=probe_cells, jacobian=grid.jacobian,
+                       degree=grid.degree, kind=grid.kind)
+        A = _dense_matrix(DGLaplace(probe, jnp.float64))
+        Nc = n**dim
+        T3 = np.array([[1.0]])
+        for _ in range(dim):
+            T3 = np.kron(T3, b.T)
+        # per-category transformed diagonal
+        d_cat = np.zeros(probe_cells + (Nc,))
+        n_probe = int(np.prod(probe_cells))
+        for k, ci in enumerate(np.ndindex(*probe_cells)):
+            blk = A[k * Nc : (k + 1) * Nc, k * Nc : (k + 1) * Nc]
+            d_cat[ci] = np.einsum("ji,jk,ki->i", T3, blk, T3)
+        # map categories to the real mesh
+        idx = []
+        for d in range(dim):
+            C, P = grid.cells[d], probe_cells[d]
+            m = np.full(C, min(1, P - 1))
+            m[0] = 0
+            m[-1] = P - 1
+            idx.append(m)
+        full = d_cat[np.ix_(*idx)].reshape(grid.cells + (n,) * dim)
+        self.inv_diag = jnp.asarray(1.0 / full, dtype)
+
+    def _sweep(self, u, M):
+        for d in range(self.dim):
+            axis = self.dim + d
+            nd = u.ndim
+            in_subs = list(range(nd))
+            out_subs = list(range(nd))
+            out_subs[axis] = nd
+            u = jnp.einsum(u, in_subs, M, [nd, axis], out_subs)
+        return u
+
+    def vmult(self, u: jnp.ndarray) -> jnp.ndarray:
+        """P^{-1} u = T3 diag^{-1} T3^T u
+        (/root/reference/common/laplace_operator_dg.h:2084-2095)."""
+        y = self._sweep(u, self.Tt)
+        y = y * self.inv_diag
+        return self._sweep(y, self.T)

@@ -45,18 +45,17 @@ def eig_estimate_start_vector(shape, dtype, mask=None) -> jnp.ndarray:
 
 def estimate_eigenvalues(
     vmult: Callable,
-    inv_diag: jnp.ndarray,
+    precond: Callable,
     n_iterations: int,
-    rhs: Optional[jnp.ndarray] = None,
+    rhs: jnp.ndarray,
 ) -> tuple[float, float]:
-    """Largest/smallest eigenvalue estimate of diag^{-1} A by CG-Lanczos."""
-    if rhs is None:
-        rhs = eig_estimate_start_vector(inv_diag.shape, inv_diag.dtype)
+    """Largest/smallest eigenvalue estimate of P^{-1} A by CG-Lanczos."""
     dot = lambda a, b: jnp.vdot(a, b)
     matvec = jax.jit(vmult)
+    prec = jax.jit(precond)
 
     r = rhs
-    z = inv_diag * r
+    z = prec(r)
     p = z
     rz = float(dot(r, z))
     alphas, betas = [], []
@@ -69,7 +68,7 @@ def estimate_eigenvalues(
             break
         alpha = rz / pq
         r = r - alpha * q
-        z = inv_diag * r
+        z = prec(r)
         rz_new = float(dot(r, z))
         beta = rz_new / rz
         alphas.append(alpha)
@@ -95,7 +94,7 @@ class Chebyshev:
     """Smoother object bound to one level's operator and diagonal."""
 
     vmult_op: Callable            # x -> A x
-    inv_diag: jnp.ndarray
+    precond: Callable             # r -> P^{-1} r
     theta: float
     delta: float
     degree: int
@@ -106,15 +105,22 @@ class Chebyshev:
     @staticmethod
     def create(
         vmult_op: Callable,
-        inv_diag: jnp.ndarray,
+        inv_diag: Optional[jnp.ndarray],
         smoothing_range: float,
         degree: Optional[int],
         eig_cg_n_iterations: int,
         kind: str = FIRST_KIND,
         max_estimate_iterations: int = 80,
+        precond: Optional[Callable] = None,
+        example: Optional[jnp.ndarray] = None,
     ) -> "Chebyshev":
+        if precond is None:
+            precond = lambda r: inv_diag * r
+        if example is None:
+            example = inv_diag
         n_it = min(eig_cg_n_iterations, max_estimate_iterations)
-        max_eig, min_eig = estimate_eigenvalues(vmult_op, inv_diag, n_it)
+        rhs0 = eig_estimate_start_vector(example.shape, example.dtype)
+        max_eig, min_eig = estimate_eigenvalues(vmult_op, precond, n_it, rhs0)
         # deal.II PreconditionChebyshev interval conventions
         beta_ub = 1.2 * max_eig
         if smoothing_range > 1.0:
@@ -137,7 +143,7 @@ class Chebyshev:
         delta = 0.5 * (beta_ub - alpha_lb)
         return Chebyshev(
             vmult_op=vmult_op,
-            inv_diag=inv_diag,
+            precond=precond,
             theta=float(theta),
             delta=float(delta),
             degree=int(degree),
@@ -147,40 +153,42 @@ class Chebyshev:
         )
 
     # ------------------------------------------------------- first kind
-    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
-        """dst = Cheb(A, diag) b with zero initial guess."""
-        if self.kind == FOURTH_KIND:
-            return self._fourth(jnp.zeros_like(b), b, first_residual_is_b=True)
+    def _first_kind_loop(self, x, x_old, b):
+        """degree-1 iterations of the first-kind recurrence, rolled into a
+        fori_loop (large auto-degrees on the coarse level would otherwise
+        unroll into huge XLA graphs)."""
         th, de = self.theta, self.delta
-        x_old = jnp.zeros_like(b)
-        x = self.inv_diag * b * (1.0 / th)
-        rho = de / th
-        for _ in range(self.degree - 1):
+        if self.degree <= 1:
+            return x
+
+        def body(_, s):
+            x, x_old, rho = s
             r = b - self.vmult_op(x)
             rho_new = 1.0 / (2.0 * th / de - rho)
             f1 = rho_new * rho
             f2 = 2.0 * rho_new / de
-            x, x_old = x + f1 * (x - x_old) + f2 * (self.inv_diag * r), x
-            rho = rho_new
+            x_new = x + f1 * (x - x_old) + f2 * self.precond(r)
+            return (x_new, x, rho_new)
+
+        rho0 = jnp.asarray(de / th, x.dtype)
+        x, _, _ = jax.lax.fori_loop(0, self.degree - 1, body, (x, x_old, rho0))
         return x
+
+    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
+        """dst = Cheb(A, P) b with zero initial guess."""
+        if self.kind == FOURTH_KIND:
+            return self._fourth(jnp.zeros_like(b), b, first_residual_is_b=True)
+        x_old = jnp.zeros_like(b)
+        x = self.precond(b) * (1.0 / self.theta)
+        return self._first_kind_loop(x, x_old, b)
 
     def step(self, x0: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """One smoothing pass starting from ``x0`` (deal.II ``step``)."""
         if self.kind == FOURTH_KIND:
             return self._fourth(x0, b, first_residual_is_b=False)
-        th, de = self.theta, self.delta
         r = b - self.vmult_op(x0)
-        x_old = x0
-        x = x0 + self.inv_diag * r * (1.0 / th)
-        rho = de / th
-        for _ in range(self.degree - 1):
-            r = b - self.vmult_op(x)
-            rho_new = 1.0 / (2.0 * th / de - rho)
-            f1 = rho_new * rho
-            f2 = 2.0 * rho_new / de
-            x, x_old = x + f1 * (x - x_old) + f2 * (self.inv_diag * r), x
-            rho = rho_new
-        return x
+        x = x0 + self.precond(r) * (1.0 / self.theta)
+        return self._first_kind_loop(x, x0, b)
 
     # ------------------------------------------------------ fourth kind
     def _fourth(self, x0, b, first_residual_is_b: bool):
@@ -193,13 +201,18 @@ class Chebyshev:
         else:
             r = b - self.vmult_op(x0)
             x = x0
-        dx = (4.0 / 3.0) / rho * (self.inv_diag * r)
+        dx = (4.0 / 3.0) / rho * self.precond(r)
         x = x + dx
-        for k in range(2, self.degree + 1):
+
+        def body(k, s):
+            x, dx, r = s
+            kf = k.astype(x.dtype)
             r = r - self.vmult_op(dx)
-            z = self.inv_diag * r
-            dx = ((2.0 * k - 3.0) / (2.0 * k + 1.0)) * dx + (
-                (8.0 * k - 4.0) / ((2.0 * k + 1.0) * rho)
+            z = self.precond(r)
+            dx = ((2.0 * kf - 3.0) / (2.0 * kf + 1.0)) * dx + (
+                (8.0 * kf - 4.0) / ((2.0 * kf + 1.0) * rho)
             ) * z
-            x = x + dx
+            return (x + dx, dx, r)
+
+        x, _, _ = jax.lax.fori_loop(2, self.degree + 1, body, (x, dx, r))
         return x

@@ -59,6 +59,8 @@ class MultigridSolver:
         f_dtype=jnp.float64,
         sp_impl: str = "sumfac",
         dp_impl: str = "sumfac",
+        coarse_smoothing_range: float = 1e-3,
+        finest_degree: Optional[int] = None,
     ):
         assert n_pre == n_post, "reference requires equal pre/post degree"
         self.mesh = mesh
@@ -148,11 +150,14 @@ class MultigridSolver:
                 # polynomial of degree 2*n_pre per smoothing pass; a plain
                 # T_{n_pre} polynomial on [max/20, 1.2 max] gives two-grid
                 # 0.48 and cg_its = 13, far off the reference transcript.
+                deg = n_pre
+                if finest_degree is not None and l == self.maxlevel:
+                    deg = finest_degree
                 sm = Chebyshev.create(
                     self.sp_ops[l].vmult,
                     inv_diag,
                     smoothing_range=20.0,
-                    degree=2 * n_pre,
+                    degree=2 * deg,
                     eig_cg_n_iterations=15,
                     kind=FIRST_KIND,
                 )
@@ -160,7 +165,7 @@ class MultigridSolver:
                 sm = Chebyshev.create(
                     self.sp_ops[l].vmult,
                     inv_diag,
-                    smoothing_range=1e-3,
+                    smoothing_range=coarse_smoothing_range,
                     degree=None,
                     eig_cg_n_iterations=self.grids[l].n_dofs,
                     kind=FIRST_KIND,

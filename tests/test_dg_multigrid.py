@@ -1,0 +1,50 @@
+"""DG multigrid solvers: convergence-rate and MMS regression (tier c/d).
+
+Kept 2-D / small so CPU jit compiles stay fast; the 3-D paths share the
+dimension-generic code exercised by test_dg_operator.py.
+"""
+
+import numpy as np
+import pytest
+
+from multigrid_tpu.mesh.brick import cube
+from multigrid_tpu.solvers.multigrid_dg import MultigridSolverDG, MultigridSolverDGPlain
+
+K = 3.0  # waves; on [0,1]^dim sin(3 pi x) vanishes on the boundary
+
+
+def exact_fn(coords):
+    out = 1.0
+    for c in coords:
+        out = out * np.sin(np.pi * K * c)
+    return out
+
+
+def rhs_fn(coords):
+    return len(coords) * (np.pi * K) ** 2 * exact_fn(coords)
+
+
+def test_poisson_dg_solver():
+    """DG-over-CG V-cycle: CG converges fast; homogeneous-BC MMS error
+    converges (domain [0,1]^2 makes the weak-zero-BC rhs exact)."""
+    errs = []
+    for n_ref in (1, 2):
+        mesh = cube(2, 0.0, 1.0, n_ref, dim=2)
+        s = MultigridSolverDG(mesh, 3, exact_fn, rhs_fn, kind="hermite")
+        sol, frac_its, rate = s.solve_cg(tolerance=1e-10)
+        assert rate < 0.35, rate
+        errs.append(s.l2_error(sol, s.exact_quad))
+    rate_l2 = np.log2(errs[0] / errs[1])
+    assert rate_l2 > 3.4, (errs, rate_l2)
+
+
+def test_poisson_dg_plain_solver():
+    errs = []
+    for n_ref in (1, 2):
+        mesh = cube(2, 0.0, 1.0, n_ref, dim=2)
+        s = MultigridSolverDGPlain(mesh, 3, exact_fn, rhs_fn, kind="gauss")
+        sol, frac_its, rate = s.solve_cg(tolerance=1e-10)
+        assert rate < 0.35, rate
+        errs.append(s.l2_error(sol, s.exact_quad))
+    rate_l2 = np.log2(errs[0] / errs[1])
+    assert rate_l2 > 3.4, (errs, rate_l2)
