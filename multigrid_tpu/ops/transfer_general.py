@@ -1,0 +1,83 @@
+"""Multigrid transfer on mapped multiblock meshes (general-geometry
+counterpart of :mod:`multigrid_tpu.ops.transfer`, i.e. of deal.II
+``MGTransferMatrixFree``): per-coarse-cell 2^dim-child embedding with
+1/valence averaging weights on shared fine nodes."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.quadrature import lagrange_values
+from ..mesh.mapped import GeneralGrid
+from .laplace import apply_1d
+
+
+class GeneralTransfer:
+    def __init__(self, fine: GeneralGrid, coarse: GeneralGrid,
+                 dtype=jnp.float32, constrained: bool = True):
+        assert fine.level == coarse.level + 1
+        self.fine, self.coarse = fine, coarse
+        self.constrained = constrained
+        self.dim = fine.dim
+        self.n = fine.n
+        nodes = fine.basis.nodes
+        self.E = [
+            jnp.asarray(lagrange_values(nodes, nodes * 0.5), dtype),
+            jnp.asarray(lagrange_values(nodes, 0.5 + nodes * 0.5), dtype),
+        ]
+        self.child_cells = coarse.child_cells()       # [Cc, 2^dim]
+        self.fine_nodes = jnp.asarray(fine.cell_nodes)
+        self.coarse_nodes = jnp.asarray(coarse.cell_nodes)
+        counts = np.bincount(fine.cell_nodes.reshape(-1), minlength=fine.n_dofs)
+        self.weights = jnp.asarray(1.0 / counts, dtype)
+        self.fine_interior = jnp.asarray(~fine.boundary)
+        self.coarse_interior = jnp.asarray(~coarse.boundary)
+        # fine cell -> (coarse cell, child) inverse map for restriction
+        self._children = [
+            jnp.asarray(self.child_cells[:, s]) for s in range(2 ** self.dim)
+        ]
+        self._offsets = list(np.ndindex(*(2,) * self.dim))
+
+    def _embed(self, wc, s_offsets):
+        w = wc
+        for d, s in enumerate(s_offsets):
+            w = apply_1d(w, self.E[s], 1 + d)
+        return w
+
+    def prolongate(self, u_coarse: jnp.ndarray) -> jnp.ndarray:
+        u = u_coarse
+        if self.constrained:
+            u = jnp.where(self.coarse_interior, u, 0)
+        wc = jnp.take(u, self.coarse_nodes, axis=0).reshape(
+            (self.coarse.n_cells,) + (self.n,) * self.dim
+        )
+        out = jnp.zeros(self.fine.n_dofs, u.dtype)
+        for s, offs in enumerate(self._offsets):
+            wf = self._embed(wc, offs).reshape(self.coarse.n_cells, -1)
+            idx = jnp.take(self.fine_nodes, self._children[s], axis=0).reshape(-1)
+            out = out.at[idx].add(wf.reshape(-1), mode="drop")
+        # contributions agree on shared nodes -> valence averaging is exact
+        out = out * self.weights
+        if self.constrained:
+            out = jnp.where(self.fine_interior, out, 0)
+        return out
+
+    def restrict(self, u_fine: jnp.ndarray) -> jnp.ndarray:
+        u = u_fine
+        if self.constrained:
+            u = jnp.where(self.fine_interior, u, 0)
+        u = u * self.weights
+        out = jnp.zeros(self.coarse.n_dofs, u.dtype)
+        for s, offs in enumerate(self._offsets):
+            idx = jnp.take(self.fine_nodes, self._children[s], axis=0)
+            wf = jnp.take(u, idx.reshape(-1), axis=0).reshape(
+                (self.coarse.n_cells,) + (self.n,) * self.dim
+            )
+            for d, so in enumerate(offs):
+                wf = apply_1d(wf, self.E[so].T, 1 + d)
+            out = out.at[self.coarse_nodes.reshape(-1)].add(wf.reshape(-1))
+        if self.constrained:
+            out = jnp.where(self.coarse_interior, out, 0)
+        return out
+
