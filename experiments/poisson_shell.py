@@ -1,0 +1,111 @@
+"""poisson_shell experiment: variable-coefficient Poisson on a 3-D shell.
+
+Port of /root/reference/poisson_shell/program.cc: coefficient
+``1 + 1e6 prod_e cos^2(2 pi x_e + 0.1 e)``, solution ``sin(2 pi (x+y))``,
+spherical shell r in [0.5, 1], mixed fp32/fp64 FMG + CG-V-cycle.  The
+reference alternates 6- and 12-cell coarse shells per cycle
+(program.cc:424-431); this build uses the 6-block cubed sphere with a
+tangential subdivision parameter instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from multigrid_tpu.mesh.shapes import hyper_shell
+from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
+
+
+def exact_fn(coords):
+    return np.sin(2 * np.pi * (coords[0] + coords[1]))
+
+
+def grad_exact(coords):
+    g = 2 * np.pi * np.cos(2 * np.pi * (coords[0] + coords[1]))
+    return [g, g] + [0.0 * coords[0] for _ in range(len(coords) - 2)]
+
+
+def laplacian_exact(coords):
+    return -2 * (2 * np.pi) ** 2 * exact_fn(coords)
+
+
+def coef_fn(coords):
+    prod = 1.0
+    for e, c in enumerate(coords):
+        prod = prod * np.cos(2 * np.pi * c + 0.1 * e) ** 2
+    return 1.0 + 1.0e6 * prod
+
+
+def grad_coef(coords):
+    out = []
+    for d in range(len(coords)):
+        prod = 1.0
+        for e, c in enumerate(coords):
+            t = np.cos(2 * np.pi * c + 0.1 * e)
+            if e == d:
+                prod = prod * (-4 * np.pi * t * np.sin(2 * np.pi * c + 0.1 * e))
+            else:
+                prod = prod * t * t
+        out.append(1.0e6 * prod)
+    return out
+
+
+def rhs_fn(coords):
+    """-(c Lap(u) + grad(c).grad(u)) (program.cc:216-225)."""
+    gc = grad_coef(coords)
+    gu = grad_exact(coords)
+    dot = sum(a * b for a, b in zip(gc, gu))
+    return -(coef_fn(coords) * laplacian_exact(coords) + dot)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("degree", type=int, nargs="?", default=4)
+    ap.add_argument("maxsize", type=int, nargs="?", default=2_000_000)
+    ap.add_argument("n_mg_cycles", type=int, nargs="?", default=2)
+    ap.add_argument("n_pre_smooth", type=int, nargs="?", default=2)
+    ap.add_argument("n_post_smooth", type=int, nargs="?", default=2)
+    args = ap.parse_args()
+
+    rows = []
+    for cycle in range(8):
+        n_levels = 1 + cycle // 2
+        tang = 2 if cycle % 2 == 0 else 3
+        mesh = hyper_shell(0.5, 1.0, n_levels=n_levels, coarse_tangential=tang)
+        g_dofs = None
+        s = GeneralMultigridSolver(
+            mesh, args.degree, exact_fn, rhs_fn, coef_fn=coef_fn,
+            n_pre=args.n_pre_smooth, n_post=args.n_post_smooth,
+            n_cycles=args.n_mg_cycles,
+        )
+        g_dofs = s.grids[s.maxlevel].n_dofs
+        if g_dofs > args.maxsize:
+            print("Max size reached, terminating.")
+            break
+        print(f"Cycle {cycle}: {g_dofs} dofs")
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sol = s.solve()
+            sol.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        fmg_err = s.l2_error(s.maxlevel, sol)
+        t0 = time.perf_counter()
+        sol_cg, its, red = s.solve_cg()
+        cg_time = time.perf_counter() - t0
+        row = dict(cells=s.grids[s.maxlevel].n_cells, dofs=g_dofs,
+                   fmg_time=best, fmg_L2error=fmg_err, cg_time=cg_time,
+                   cg_its=its, cg_reduction=red,
+                   cg_L2error=s.l2_error(s.maxlevel, sol_cg))
+        print(row)
+        rows.append(row)
+
+    from multigrid_tpu.utils.tables import print_convergence_table
+    print_convergence_table(rows, dim=3)
+
+
+if __name__ == "__main__":
+    main()

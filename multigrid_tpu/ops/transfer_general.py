@@ -63,6 +63,32 @@ class GeneralTransfer:
             out = jnp.where(self.fine_interior, out, 0)
         return out
 
+    def restrict_solution(self, u_fine: jnp.ndarray) -> jnp.ndarray:
+        """Pointwise FE restriction of a *solution* (not a residual): coarse
+        node values = fine FE function evaluated at the coarse node points,
+        the role of deal.II ``get_restriction_matrix`` in minimal_surface's
+        level-coefficient setup (/root/reference/minimal_surface/program.cc:416-457)."""
+        nodes = self.fine.basis.nodes
+        n = self.n
+        from ..core.quadrature import lagrange_values as _lv
+
+        out = jnp.zeros(self.coarse.n_dofs, u_fine.dtype)
+        wf_all = jnp.take(u_fine, self.fine_nodes, axis=0)
+        counts = np.bincount(self.coarse.cell_nodes.reshape(-1),
+                             minlength=self.coarse.n_dofs)
+        for s, offs in enumerate(self._offsets):
+            idx = jnp.take(self.fine_nodes, self._children[s], axis=0)
+            wf = jnp.take(u_fine, idx.reshape(-1), axis=0).reshape(
+                (self.coarse.n_cells,) + (n,) * self.dim
+            )
+            for d, so in enumerate(offs):
+                inside = (nodes <= 0.5 + 1e-14) if so == 0 else (nodes > 0.5 + 1e-14)
+                pts = 2.0 * nodes - so
+                R = _lv(nodes, pts) * inside[:, None]
+                wf = apply_1d(wf, jnp.asarray(R, u_fine.dtype), 1 + d)
+            out = out.at[self.coarse.cell_nodes.reshape(-1)].add(wf.reshape(-1))
+        return out / jnp.asarray(counts, u_fine.dtype)
+
     def restrict(self, u_fine: jnp.ndarray) -> jnp.ndarray:
         u = u_fine
         if self.constrained:

@@ -41,6 +41,7 @@ class GeneralMultigridSolver:
         assert n_pre == n_post
         self.mesh = mesh
         self.n_cycles = n_cycles
+        self._n_pre = n_pre
         self.v_dtype, self.f_dtype = v_dtype, f_dtype
         self.minlevel = 0
         self.maxlevel = mesh.max_level
@@ -137,18 +138,47 @@ class GeneralMultigridSolver:
     def _precond(self, r):
         return self.v_cycle(self.maxlevel, r.astype(self.v_dtype), 1).astype(self.f_dtype)
 
-    def solve_cg(self, rtol=1e-9, abs_tol=1e-16, max_iterations=1000):
+    def solve_cg(self, rtol=1e-9, abs_tol=1e-16, max_iterations=1000, b=None):
         if self._cg_jit is None:
             self._cg_jit = jax.jit(
                 partial(cg_solve, self.ops_dp[self.maxlevel].vmult,
                         precond=self._precond, max_iterations=max_iterations,
                         abs_tol=abs_tol, rtol=rtol)
             )
-        res: CGResult = self._cg_jit(self.rhs[self.maxlevel])
+        res: CGResult = self._cg_jit(self.rhs[self.maxlevel] if b is None else b)
         its = int(res.iterations)
         red = float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
         sol = jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], res.x)
         return sol, its, red
+
+    # --------------------------------------------------- nonlinear support
+    def update_coefficients(self, coefs):
+        """Replace per-level merged coefficients (device arrays shaped like
+        op.C) and rebuild diagonals + Chebyshev smoothers — the per-Newton-
+        iteration refresh of minimal_surface
+        (/root/reference/minimal_surface/program.cc:458-489)."""
+        for l, C in enumerate(coefs):
+            self.ops[l].C = C.astype(self.v_dtype)
+            self.ops_dp[l].C = C.astype(self.f_dtype)
+        smoothers = []
+        for l in range(len(self.grids)):
+            inv_diag = self.ops[l].inverse_diagonal()
+            if l > self.minlevel:
+                sm = Chebyshev.create(
+                    self.ops[l].vmult, inv_diag, smoothing_range=20.0,
+                    degree=2 * self._n_pre, eig_cg_n_iterations=15,
+                    kind=FIRST_KIND,
+                )
+            else:
+                sm = Chebyshev.create(
+                    self.ops[l].vmult, inv_diag, smoothing_range=1e-3,
+                    degree=None, eig_cg_n_iterations=self.grids[l].n_dofs,
+                    kind=FIRST_KIND,
+                )
+            smoothers.append(sm)
+        self.smoothers = smoothers
+        self._cg_jit = None
+        self._fmg_jit = None
 
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
         u = jnp.where(self.bmask[level], self.u_bc[level], sol)
