@@ -136,15 +136,16 @@ class DenseLaplaceOzaki(_DenseBase):
         self.max_m = max_m
         sigma, limbs = _split_limbs_f64(self.K.T, n_limbs)
         self.sigma_K = sigma
-        # stacked matrices per scale group m: rows = concat of K_k for the
-        # pairs (k, l=m-k); multiplied by concat of input limbs l
-        self.K_m = []
-        for m in range(max_m + 1):
-            ks = [k for k in range(min(m, n_limbs - 1) + 1) if m - k < n_limbs]
-            stack = np.concatenate([limbs[k] for k in ks], axis=0)
-            self.K_m.append(
-                (jnp.asarray(stack.astype(np.float32), jnp.bfloat16), ks)
-            )
+        # one block matrix: column block m accumulates all pairs k+l = m in
+        # a single MXU pass; Kbig[l-block, m-block] = K-limb (m-l)
+        N = self.N
+        Kbig = np.zeros((n_limbs * N, (max_m + 1) * N), np.float32)
+        for l in range(n_limbs):
+            for m in range(max_m + 1):
+                k = m - l
+                if 0 <= k < n_limbs:
+                    Kbig[l * N : (l + 1) * N, m * N : (m + 1) * N] = limbs[k]
+        self.Kbig = jnp.asarray(Kbig, jnp.bfloat16)
 
     def _limb_split_device(self, uh, ul):
         """Per-cell scaled 7-bit limb extraction from an f32 pair [C, N]."""
@@ -166,15 +167,15 @@ class DenseLaplaceOzaki(_DenseBase):
     def _apply_flat(self, uh, ul):
         """[C,N] f32 pair -> [C,N] df64 pair of A_cell @ u."""
         sigma, limbs = self._limb_split_device(uh, ul)
+        packed = jnp.concatenate(limbs, axis=1)          # [C, n_limbs*N]
+        Y = jnp.dot(packed, self.Kbig, preferred_element_type=jnp.float32)
         acc_h = acc_l = None
+        N = self.N
         for m in range(self.max_m + 1):
-            Kstack, ks = self.K_m[m]
-            U = jnp.concatenate([limbs[m - k] for k in ks], axis=1)
-            Ym = jnp.dot(U, Kstack, preferred_element_type=jnp.float32)
-            # stored limbs carry 2^{7k}/2^{7l}; the true pair scale is 2^{-7m}
-            delta = np.float32(self.sigma_K * 2.0 ** (-_LIMB_BITS * m))
+            # stored limbs carry 2^{7k}/2^{7l}; the true pair scale is 2^{-7m};
             # scale by exact powers of two (per-cell sigma and group scale)
-            term = Ym * delta * sigma
+            delta = np.float32(self.sigma_K * 2.0 ** (-_LIMB_BITS * m))
+            term = Y[:, m * N : (m + 1) * N] * delta * sigma
             if acc_h is None:
                 acc_h, acc_l = term, jnp.zeros_like(term)
             else:

@@ -44,3 +44,46 @@ def grid_sharding(mesh: Mesh, dim: int) -> NamedSharding:
 
 def shard_grid_array(x, mesh: Mesh):
     return jax.device_put(x, grid_sharding(mesh, x.ndim))
+
+
+def padded_len(n: int, parts: int) -> int:
+    return ((n + parts - 1) // parts) * parts
+
+
+def pad_spec(shape, mesh: Mesh):
+    """Padded shape making every mesh-mapped axis divisible (node grids have
+    N*p+1 rows, never divisible by a power-of-two device count)."""
+    names = list(mesh.axis_names)
+    out = list(shape)
+    for i, ax in enumerate(names):
+        out[i] = padded_len(shape[i], mesh.shape[ax])
+    return tuple(out)
+
+
+def wrap_padded(fn, shape, mesh: Mesh, argnums=(0,)):
+    """Wrap ``fn`` (node-grid in/out) so its jit boundary carries padded,
+    evenly-shardable arrays; inside, arrays are sliced back to the exact
+    shape (GSPMD supports uneven intermediate shardings)."""
+    pshape = pad_spec(shape, mesh)
+    pads = [(0, p - s) for p, s in zip(pshape, shape)]
+
+    def unpad(xp):
+        idx = tuple(slice(0, s) for s in shape)
+        return xp[idx]
+
+    def pad(x):
+        import jax.numpy as jnp
+
+        return jnp.pad(x, pads)
+
+    def wrapped(*args):
+        args = list(args)
+        for i in argnums:
+            args[i] = unpad(args[i])
+        out = fn(*args)
+        if isinstance(out, tuple):
+            return tuple(pad(o) if hasattr(o, "ndim") and o.ndim == len(shape) else o
+                         for o in out)
+        return pad(out)
+
+    return wrapped, pad, unpad

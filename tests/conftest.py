@@ -7,7 +7,7 @@ Multi-device sharding is validated on a virtual CPU mesh (the analogue of
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +16,14 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# NOTE: jax may be pre-imported by the host harness, so environment
+# variables are ineffective — use config updates (pre-backend-init).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
