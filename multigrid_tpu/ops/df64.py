@@ -18,10 +18,16 @@ Convention: a df64 value is a pair (hi, lo) of f32 arrays with
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SPLITTER = np.float32(4097.0)  # 2^12 + 1 for f32 Dekker splitting
+
+def _mask_split_np(hi: np.ndarray):
+    """Host-side 12-bit mantissa-mask split of f32 values."""
+    bits = hi.view(np.uint32) & np.uint32(0xFFFFF000)
+    hhi = bits.view(np.float32)
+    return hhi, hi - hhi
 
 
 def split_f64(x) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -36,8 +42,15 @@ def join_f64(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dekker_split(a):
-    t = _SPLITTER * a
-    ahi = t - (t - a)
+    """Split into 12-bit halves by mantissa masking (exact products in f32).
+
+    Implemented with a bitmask instead of the classical Dekker arithmetic
+    (t = 4097*a; hi = t - (t - a)): compilers may contract the latter into
+    an FMA, which skips the rounding the algorithm relies on (observed with
+    XLA:CPU).  Masking is rounding-free and immune to contraction.
+    """
+    ai = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    ahi = jax.lax.bitcast_convert_type(ai & jnp.uint32(0xFFFFF000), jnp.float32)
     alo = a - ahi
     return ahi, alo
 
@@ -57,15 +70,21 @@ def quick_two_sum(a, b):
 
 
 def two_prod(a, b, bhi=None, blo=None):
-    """Exact product a*b = p + err in f32 (Dekker, no FMA).
+    """Exact product a*b = p + err in f32.
 
-    ``bhi/blo`` may carry a precomputed Dekker split of ``b``.
+    Implemented by widening to f64 (an f32*f32 product is exact in f64);
+    XLA emulates the f64 multiply with a handful of f32 ops on TPU —
+    comparable to the classical Dekker sequence, but immune to the
+    FMA-contraction/simplifier rewrites that silently break Dekker's
+    rounding assumptions under jit (observed on XLA:CPU).  ``bhi``/``blo``
+    are accepted for API compatibility and ignored.
     """
-    p = a * b
-    ahi, alo = _dekker_split(a)
-    if bhi is None:
-        bhi, blo = _dekker_split(b)
-    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    # p must be derived FROM p64 (not computed as an f32 multiply): XLA's
+    # excess-precision rewrite turns convert_f64(mul_f32(a,b)) into
+    # mul_f64(convert(a), convert(b)), which would cancel the error term.
+    p64 = a.astype(jnp.float64) * b.astype(jnp.float64)
+    p = p64.astype(jnp.float32)
+    err = (p64 - p.astype(jnp.float64)).astype(jnp.float32)
     return p, err
 
 
@@ -95,11 +114,8 @@ class SplitMatrix:
         lo = (M - hi.astype(np.float64)).astype(np.float32)
         self.hi = jnp.asarray(hi)
         self.lo = jnp.asarray(lo)
-        # precomputed Dekker splits of hi entries — must be evaluated in f32
-        # arithmetic (the rounding of t = 4097*a IS the mechanism)
-        t = np.float32(4097.0) * hi
-        hhi = t - (t - hi)
-        hlo = hi - hhi
+        # precomputed mantissa-mask splits of hi entries
+        hhi, hlo = _mask_split_np(np.ascontiguousarray(hi))
         self.hi_split = (jnp.asarray(hhi), jnp.asarray(hlo))
 
 

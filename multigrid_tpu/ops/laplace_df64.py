@@ -34,10 +34,9 @@ class SplitConst:
         c = np.asarray(c, np.float64)
         hi = c.astype(np.float32)
         lo = (c - hi.astype(np.float64)).astype(np.float32)
-        # Dekker split in f32 arithmetic (the f32 rounding is the mechanism)
-        t = np.float32(4097.0) * hi
-        hhi = t - (t - hi)
-        hlo = hi - hhi
+        from .df64 import _mask_split_np
+
+        hhi, hlo = _mask_split_np(np.ascontiguousarray(hi))
         self.hi = jnp.asarray(hi)
         self.lo = jnp.asarray(lo)
         self.hi_split = (jnp.asarray(hhi), jnp.asarray(hlo))

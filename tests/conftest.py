@@ -10,9 +10,12 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "cpu_enable_fast_math" not in flags:
+    # XLA:CPU fast-math would break the compensated double-float arithmetic
+    # (TPU compilation never reassociates these)
+    flags = (flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
