@@ -102,11 +102,13 @@ class GeneralGrid:
             offsets.append(offsets[-1] + params.shape[0])
         coords = np.concatenate(all_coords, axis=0)
 
-        # coordinate-based node identification across blocks
+        # coordinate-based node identification across blocks (native hash
+        # dedup from native/meshgen.cpp when available)
+        from . import native
+
         scale = np.abs(coords).max() + 1.0
-        keys = np.round(coords / (1e-9 * scale)).astype(np.int64)
-        uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
-        self.n_dofs = uniq.shape[0]
+        n_unique, inverse = native.unique_nodes(coords, 1e-9 * scale)
+        self.n_dofs = n_unique
         node_coords = np.zeros((self.n_dofs, dim))
         node_coords[inverse] = coords
         self.node_coords = node_coords
@@ -117,14 +119,7 @@ class GeneralGrid:
         self.block_cells = block_cells
         for bi, blk in enumerate(mesh.blocks):
             cells = block_cells[bi]
-            shape = tuple(c * degree + 1 for c in cells)
-            local = np.arange(int(np.prod(shape))).reshape(shape)
-            # windows: [C0, n, C1, n, ...]
-            idx = local
-            for d in range(dim - 1, -1, -1):
-                idx = _window_np(idx, d, n, degree)
-            perm = tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
-            idx = idx.transpose(perm).reshape(-1, n**dim)
+            idx = native.block_cell_nodes(cells, degree)
             cn.append(inverse[offsets[bi] + idx])
         self.cell_nodes = np.concatenate(cn, axis=0).astype(np.int32)
         self.n_cells = self.cell_nodes.shape[0]

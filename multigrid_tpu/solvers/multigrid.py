@@ -178,6 +178,12 @@ class MultigridSolver:
         self._vmult_sp_jit = None
         self._vcycle_jits = {}
         self._resid_jits = {}
+        self._misc_jits = {}
+
+    def _jit_of(self, key, fn):
+        if key not in self._misc_jits:
+            self._misc_jits[key] = jax.jit(fn)
+        return self._misc_jits[key]
 
     def _vcycle_jit(self, level: int, n_cyc: int):
         key = (level, n_cyc)
@@ -310,6 +316,51 @@ class MultigridSolver:
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
         u = jnp.where(self.bmask[level], self.u_bc[level], sol)
         return float(self.ops_dp[level].l2_error(u, self.exact_quad[level]))
+
+    def v_cycle_timed(self, level: int, defect: jnp.ndarray, n_cyc: int,
+                      timings) -> jnp.ndarray:
+        """Instrumented V-cycle filling a LevelTimings table
+        (cf. /root/reference/common/multigrid_solver.h:640-681)."""
+        if level == self.minlevel:
+            return timings.coarse(
+                self._jit_of((level, "coarse"), self.smoothers[level].vmult),
+                defect,
+            )
+        upd = None
+        sm = self.smoothers[level]
+        for _ in range(n_cyc):
+            if upd is None:
+                upd = timings.timed(
+                    level, "smoother", self._jit_of((level, "smv"), sm.vmult),
+                    defect,
+                )
+            else:
+                upd = timings.timed(
+                    level, "smoother", self._jit_of((level, "sstep"), sm.step),
+                    upd, defect,
+                )
+            t = timings.timed(
+                level, "mg_mv",
+                self._jit_of((level, "resid"), self.sp_ops[level].vmult_residual),
+                defect, upd,
+            )
+            dc = timings.timed(
+                level, "restrict",
+                self._jit_of((level, "restrict"), self.transfers[level].restrict),
+                t,
+            )
+            corr = self.v_cycle_timed(level - 1, dc, 1, timings)
+            pro = timings.timed(
+                level, "prolongate",
+                self._jit_of((level, "prolong"), self.transfers[level].prolongate),
+                corr,
+            )
+            upd = upd + pro
+            upd = timings.timed(
+                level, "smoother", self._jit_of((level, "sstep"), sm.step),
+                upd, defect,
+            )
+        return upd
 
     def do_matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """dp matvec benchmark entry (multigrid_solver.h:623-628)."""

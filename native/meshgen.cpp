@@ -8,6 +8,7 @@
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -51,9 +52,9 @@ int64_t mg_unique_nodes(const double *coords, int64_t n, int32_t dim,
   for (int64_t i = 0; i < n; ++i) {
     Key3 k{0, 0, 0};
     const double *p = coords + (size_t)i * dim;
-    k.a = (int64_t)llround(p[0] * inv);
-    if (dim > 1) k.b = (int64_t)llround(p[1] * inv);
-    if (dim > 2) k.c = (int64_t)llround(p[2] * inv);
+    k.a = (int64_t)std::llround(p[0] * inv);
+    if (dim > 1) k.b = (int64_t)std::llround(p[1] * inv);
+    if (dim > 2) k.c = (int64_t)std::llround(p[2] * inv);
     auto it = table.find(k);
     if (it == table.end()) {
       table.emplace(k, next);
