@@ -29,11 +29,26 @@ def main():
     # pick the largest ladder size that fits comfortably in one chip's HBM
     sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "128 96 64").split()]
     result = None
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     for size in sizes:
         try:
             mesh = poisson_cube_mesh(size)
             grid = DofGrid(mesh, mesh.max_level, degree)
             op = DenseLaplaceOzaki(grid)
+            if use_pallas:
+                # fused-glue kernel; falls back to the XLA path on Mosaic
+                # or shape restrictions
+                try:
+                    from multigrid_tpu.ops.pallas_matvec import PallasOzakiLaplace
+
+                    pop = PallasOzakiLaplace(grid)
+                    vp = jax.jit(pop.vmult)
+                    xp = jnp.zeros(grid.shape, jnp.float64)
+                    vp(xp).block_until_ready()
+                    op = pop
+                    print("# using Pallas-fused kernel", file=sys.stderr)
+                except Exception as e:
+                    print(f"# Pallas path unavailable: {e!r:.200}", file=sys.stderr)
             vmult = jax.jit(op.vmult)
             x = jnp.asarray(
                 np.random.default_rng(0).standard_normal(grid.shape), jnp.float64
