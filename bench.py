@@ -30,25 +30,40 @@ def main():
     sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "128 96 64").split()]
     result = None
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    if use_pallas:
+        # probe Mosaic availability in a subprocess: a failed Pallas compile
+        # leaks device allocations and poisons the process
+        import subprocess
+
+        probe = (
+            "import jax, jax.numpy as jnp, numpy as np, sys;"
+            "sys.path.insert(0, %r);"
+            "jax.config.update('jax_enable_x64', True);"
+            "from multigrid_tpu.mesh.brick import DofGrid, poisson_cube_mesh;"
+            "from multigrid_tpu.ops.pallas_matvec import PallasOzakiLaplace;"
+            "mesh = poisson_cube_mesh(8);"
+            "grid = DofGrid(mesh, mesh.max_level, 4);"
+            "pop = PallasOzakiLaplace(grid);"
+            "jax.jit(pop.vmult)(jnp.zeros(grid.shape)).block_until_ready();"
+            "print('PALLAS_OK')"
+        ) % os.path.dirname(os.path.abspath(__file__))
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=420,
+                               capture_output=True, text=True)
+            use_pallas = "PALLAS_OK" in r.stdout
+        except Exception:
+            use_pallas = False
+        print(f"# Pallas fused kernel available: {use_pallas}", file=sys.stderr)
     for size in sizes:
         try:
             mesh = poisson_cube_mesh(size)
             grid = DofGrid(mesh, mesh.max_level, degree)
-            op = DenseLaplaceOzaki(grid)
             if use_pallas:
-                # fused-glue kernel; falls back to the XLA path on Mosaic
-                # or shape restrictions
-                try:
-                    from multigrid_tpu.ops.pallas_matvec import PallasOzakiLaplace
+                from multigrid_tpu.ops.pallas_matvec import PallasOzakiLaplace
 
-                    pop = PallasOzakiLaplace(grid)
-                    vp = jax.jit(pop.vmult)
-                    xp = jnp.zeros(grid.shape, jnp.float64)
-                    vp(xp).block_until_ready()
-                    op = pop
-                    print("# using Pallas-fused kernel", file=sys.stderr)
-                except Exception as e:
-                    print(f"# Pallas path unavailable: {e!r:.200}", file=sys.stderr)
+                op = PallasOzakiLaplace(grid)
+            else:
+                op = DenseLaplaceOzaki(grid)
             vmult = jax.jit(op.vmult)
             x = jnp.asarray(
                 np.random.default_rng(0).standard_normal(grid.shape), jnp.float64
