@@ -27,7 +27,9 @@ def main():
 
     degree = 4
     # pick the largest ladder size that fits comfortably in one chip's HBM
-    sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "128 96 64").split()]
+    # 96 (57M dofs) is the largest p=4 ladder size whose Ozaki intermediates
+    # fit one v5e chip; 128 (135M) needs the memory-lean fused kernel path
+    sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "96 64").split()]
     result = None
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     if use_pallas:

@@ -49,37 +49,50 @@ def estimate_eigenvalues(
     n_iterations: int,
     rhs: jnp.ndarray,
 ) -> tuple[float, float]:
-    """Largest/smallest eigenvalue estimate of P^{-1} A by CG-Lanczos."""
-    dot = lambda a, b: jnp.vdot(a, b)
-    matvec = jax.jit(vmult)
-    prec = jax.jit(precond)
+    """Largest/smallest eigenvalue estimate of P^{-1} A by CG-Lanczos.
 
-    r = rhs
-    z = prec(r)
-    p = z
-    rz = float(dot(r, z))
-    alphas, betas = [], []
-    eps = np.finfo(np.asarray(rhs).dtype).eps
-    r0 = float(jnp.linalg.norm(r))
-    for _ in range(n_iterations):
-        q = matvec(p)
-        pq = float(dot(p, q))
-        if pq <= 0 or rz <= 0:
-            break
-        alpha = rz / pq
-        r = r - alpha * q
-        z = prec(r)
-        rz_new = float(dot(r, z))
-        beta = rz_new / rz
-        alphas.append(alpha)
-        betas.append(beta)
-        rz = rz_new
-        p = z + beta * p
-        if float(jnp.linalg.norm(r)) < 1e-10 * max(r0, 1.0):
-            break
+    Runs the whole CG as one ``lax.scan`` (a single device program — eager
+    per-iteration dispatch is prohibitively slow over remote-TPU links);
+    breakdown iterations are masked out and trimmed on the host.
+    """
+
+    @jax.jit
+    def run(rhs):
+        z0 = precond(rhs)
+        rz0 = jnp.vdot(rhs, z0)
+
+        def step(carry, _):
+            r, p, rz, valid = carry
+            q = vmult(p)
+            pq = jnp.vdot(p, q)
+            ok = valid & (pq > 0) & (rz > 0)
+            alpha = jnp.where(ok, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
+            r2 = r - alpha * q
+            z = precond(r2)
+            rz2 = jnp.vdot(r2, z)
+            beta = jnp.where(ok, rz2 / jnp.where(rz == 0, 1.0, rz), 0.0)
+            p2 = z + beta * p
+            carry = (
+                jnp.where(ok, r2, r),
+                jnp.where(ok, p2, p),
+                jnp.where(ok, rz2, rz),
+                ok & (rz2 > 0),
+            )
+            return carry, (alpha, beta, ok)
+
+        carry = (rhs, z0, rz0, jnp.asarray(True))
+        _, (alphas, betas, oks) = jax.lax.scan(
+            step, carry, None, length=n_iterations
+        )
+        return alphas, betas, oks
+
+    alphas_d, betas_d, oks = run(rhs)
+    oks = np.asarray(oks)
+    k = int(oks.sum())
+    alphas = [float(a) for a in np.asarray(alphas_d)[:k]]
+    betas = [float(b) for b in np.asarray(betas_d)[:k]]
     if not alphas:
         return 1.0, 1.0
-    k = len(alphas)
     T = np.zeros((k, k))
     for i in range(k):
         T[i, i] = 1.0 / alphas[i] + (betas[i - 1] / alphas[i - 1] if i > 0 else 0.0)
