@@ -133,7 +133,7 @@ class MultigridSolver:
             self.u_bc.append(ubc)
             quads = g.quad_coords_interleaved()
             f_quad = jnp.asarray(np.asarray(rhs_fn(quads), dtype=np.float64), f_dtype)
-            self.rhs.append(self.ops_dp[l].compute_rhs(f_quad, ubc))
+            self.rhs.append(jax.jit(self.ops_dp[l].compute_rhs)(f_quad, ubc))
             self.exact_quad.append(
                 jnp.asarray(np.asarray(exact_fn(quads), dtype=np.float64), f_dtype)
             )
@@ -141,7 +141,7 @@ class MultigridSolver:
         # Chebyshev smoothers (multigrid_solver.h:268-291)
         self.smoothers = []
         for l in range(L):
-            inv_diag = self.ops[l].inverse_diagonal()
+            inv_diag = jax.jit(self.ops[l].inverse_diagonal)()
             if l > self.minlevel:
                 # NOTE on the degree: the observable behavior of the reference
                 # (two-grid reduction 0.109 at 729 dofs, cg_its = 8, and the

@@ -75,14 +75,16 @@ class GeneralMultigridSolver:
                                  g.jxw.shape)
             shape = (g.n_cells,) + (g.n,) * g.dim
             self.rhs.append(
-                self.ops_dp[l].compute_rhs(jnp.asarray(fq.reshape(shape), f_dtype), ubc)
+                jax.jit(self.ops_dp[l].compute_rhs)(
+                    jnp.asarray(fq.reshape(shape), f_dtype), ubc
+                )
             )
             eq = np.broadcast_to(np.asarray(exact_fn(qc), np.float64), g.jxw.shape)
             self.exact_quad.append(jnp.asarray(eq.reshape(shape), f_dtype))
 
         self.smoothers = []
         for l in range(L):
-            inv_diag = self.ops[l].inverse_diagonal()
+            inv_diag = jax.jit(self.ops[l].inverse_diagonal)()
             if l > self.minlevel:
                 sm = Chebyshev.create(
                     self.ops[l].vmult, inv_diag, smoothing_range=20.0,
@@ -162,7 +164,7 @@ class GeneralMultigridSolver:
             self.ops_dp[l].C = C.astype(self.f_dtype)
         smoothers = []
         for l in range(len(self.grids)):
-            inv_diag = self.ops[l].inverse_diagonal()
+            inv_diag = jax.jit(self.ops[l].inverse_diagonal)()
             if l > self.minlevel:
                 sm = Chebyshev.create(
                     self.ops[l].vmult, inv_diag, smoothing_range=20.0,
