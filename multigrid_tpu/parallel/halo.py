@@ -1,0 +1,139 @@
+"""Explicit halo-exchange operator path via shard_map + ppermute.
+
+This is the TPU-native rendering of the reference's MPI ghost machinery
+(deal.II partitioner update_ghost_values/compress inside cell_loop,
+/root/reference/common/laplace_operator.h:568-590, and the DG hand-rolled
+face exchange, laplace_operator_dg.h:981-1058): the cell grid is sliced into
+z-slabs, each device stores its slab's node planes INCLUDING the planes
+shared with its neighbors (the deal.II ghosted-vector representation), and
+one operator application does
+
+  local gather -> cell compute -> local scatter        (pure on-device)
+  compress(add):      left-shared-plane partial -> left neighbor (ppermute)
+  update_ghost:       completed plane -> right neighbor (ppermute)
+
+Inner products use an ownership mask (a device owns all its planes except
+the first, which its left neighbor owns) + psum — replacing
+``Utilities::MPI::sum`` (laplace_operator.h:715-717).
+
+Unlike the GSPMD path (parallel/sharding.py) where XLA chooses the
+collectives, here the communication schedule is explicit and minimal: two
+neighbor permutes of one [Y, X] plane per application, riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mesh.brick import DofGrid
+from ..ops.laplace import LaplaceOperator
+
+
+class HaloLaplace:
+    """z-slab-distributed FE_Q Laplace vmult with explicit halo exchange."""
+
+    def __init__(self, op: LaplaceOperator, mesh: Mesh, axis: str = "z"):
+        self.op = op
+        self.mesh = mesh
+        self.axis = axis
+        self.nd = mesh.shape[axis]
+        grid = op.grid
+        p = grid.degree
+        ncz = grid.cells[0]
+        assert ncz % self.nd == 0, "z cells must divide the device count"
+        self.loc_cells = ncz // self.nd
+        self.loc_nz = self.loc_cells * p + 1   # incl. shared planes
+        self.Z = grid.shape[0]
+
+    # ------------------------------------------------- layout conversions
+    def distribute(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Global [Z, Y, X] -> [nd, loc_nz, Y, X] with duplicated shared
+        planes, sharded over the device mesh."""
+        p = self.op.grid.degree
+        rows = np.concatenate(
+            [np.arange(d * self.loc_cells * p, d * self.loc_cells * p + self.loc_nz)
+             for d in range(self.nd)]
+        )
+        v = u[rows].reshape(self.nd, self.loc_nz, *u.shape[1:])
+        return jax.device_put(v, NamedSharding(self.mesh, P(self.axis)))
+
+    def collect(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Inverse of :meth:`distribute` (drops duplicated planes)."""
+        parts = [np.asarray(v[0])]
+        for d in range(1, self.nd):
+            parts.append(np.asarray(v[d])[1:])
+        return jnp.asarray(np.concatenate(parts, axis=0))
+
+    # ---------------------------------------------------------- operators
+    def _local_apply(self, xloc):
+        """One device's share: masked local cell apply. The Dirichlet mask
+        of the global operator is sliced to the local rows."""
+        return self.op.apply_cells(xloc)
+
+    def vmult_distributed(self):
+        """Returns a jitted distributed vmult acting on [nd, loc_nz, Y, X]."""
+        op = self.op
+        nd, axis = self.nd, self.axis
+        interior = np.asarray(~op.grid.boundary_mask())
+        p = op.grid.degree
+        loc_rows = [
+            np.arange(d * self.loc_cells * p, d * self.loc_cells * p + self.loc_nz)
+            for d in range(nd)
+        ]
+        masks = jnp.asarray(np.stack([interior[r] for r in loc_rows]))
+        masks = jax.device_put(masks, NamedSharding(self.mesh, P(axis)))
+
+        fwd = [(i, (i + 1) % nd) for i in range(nd)]
+        bwd = [(i, (i - 1) % nd) for i in range(nd)]
+
+        def body(x, m):
+            x = x[0]
+            m = m[0]
+            d = jax.lax.axis_index(axis)
+            xm = jnp.where(m, x, 0)
+            y = op.apply_cells(xm)
+            # compress(add): my first-plane partial belongs to the left
+            # neighbor's last plane
+            first = y[0]
+            from_right = jax.lax.ppermute(first, axis, bwd)
+            y = y.at[-1].add(jnp.where(d < nd - 1, 1.0, 0.0) * from_right)
+            # update_ghost_values: completed last plane -> right neighbor
+            last = y[-1]
+            from_left = jax.lax.ppermute(last, axis, fwd)
+            y = y.at[0].set(jnp.where(d > 0, from_left, y[0]))
+            out = jnp.where(m, y, x)
+            return out[None]
+
+        from jax.shard_map import shard_map
+
+        return jax.jit(
+            shard_map(
+                body, mesh=self.mesh,
+                in_specs=(P(axis), P(axis)), out_specs=P(axis),
+            )
+        ), masks
+
+    def dot_distributed(self):
+        """Owned-plane-masked global inner product (psum)."""
+        axis, nd = self.axis, self.nd
+
+        def body(a, b):
+            d = jax.lax.axis_index(axis)
+            a0 = a[0]
+            b0 = b[0]
+            w = jnp.ones((a0.shape[0], 1, 1), a0.dtype)
+            w = w.at[0].set(jnp.where(d > 0, 0.0, 1.0))
+            s = jnp.sum(a0 * b0 * w)
+            return jax.lax.psum(s, axis)[None]
+
+        from jax.shard_map import shard_map
+
+        return jax.jit(
+            shard_map(body, mesh=self.mesh, in_specs=(P(self.axis), P(self.axis)),
+                      out_specs=P(self.axis))
+        )

@@ -1,0 +1,47 @@
+"""Explicit shard_map halo-exchange operator vs the single-device result."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from experiments.poisson_cube import exact_fn, rhs_fn
+from multigrid_tpu.mesh.brick import BrickMesh, DofGrid
+from multigrid_tpu.ops.laplace import LaplaceOperator
+from multigrid_tpu.parallel.halo import HaloLaplace
+from multigrid_tpu.parallel.sharding import make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh_geo = BrickMesh(coarse_cells=(8, 3, 3), origin=(-0.9,) * 3,
+                         lengths=(1.9,) * 3, n_levels=2)
+    grid = DofGrid(mesh_geo, 1, 2)
+    op = LaplaceOperator(grid, jnp.float64)
+    dmesh = make_mesh(8, ("z",))
+    return op, HaloLaplace(op, dmesh)
+
+
+def test_halo_vmult_matches(setup):
+    op, halo = setup
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(op.grid.shape))
+    y_ref = np.asarray(op.vmult(x))
+    vmult, masks = halo.vmult_distributed()
+    xd = halo.distribute(x)
+    yd = vmult(xd, masks)
+    y = np.asarray(halo.collect(yd))
+    assert np.allclose(y, y_ref, atol=1e-12)
+    # ghosted consistency: duplicated planes agree after the exchange
+    ydn = np.asarray(yd)
+    for d in range(1, halo.nd):
+        assert np.allclose(ydn[d][0], ydn[d - 1][-1], atol=1e-13)
+
+
+def test_halo_dot_matches(setup):
+    op, halo = setup
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal(op.grid.shape))
+    b = jnp.asarray(rng.standard_normal(op.grid.shape))
+    dot = halo.dot_distributed()
+    got = float(np.asarray(dot(halo.distribute(a), halo.distribute(b)))[0])
+    assert got == pytest.approx(float(jnp.vdot(a, b)), rel=1e-12)
