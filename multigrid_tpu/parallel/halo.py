@@ -109,7 +109,7 @@ class HaloLaplace:
             out = jnp.where(m, y, x)
             return out[None]
 
-        from jax.shard_map import shard_map
+        shard_map = jax.shard_map
 
         return jax.jit(
             shard_map(
@@ -131,7 +131,7 @@ class HaloLaplace:
             s = jnp.sum(a0 * b0 * w)
             return jax.lax.psum(s, axis)[None]
 
-        from jax.shard_map import shard_map
+        shard_map = jax.shard_map
 
         return jax.jit(
             shard_map(body, mesh=self.mesh, in_specs=(P(self.axis), P(self.axis)),
