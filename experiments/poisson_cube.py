@@ -35,10 +35,12 @@ def rhs_fn(coords):
 
 
 def build_solver(mesh: BrickMesh, degree: int, n_pre: int = 2, n_post: int = 2,
-                 n_cycles: int = 2) -> MultigridSolver:
+                 n_cycles: int = 2, sp_impl: str = "sumfac",
+                 dp_impl: str = "sumfac") -> MultigridSolver:
     return MultigridSolver(
         mesh, degree, exact_fn, rhs_fn,
         n_pre=n_pre, n_post=n_post, n_cycles=n_cycles,
+        sp_impl=sp_impl, dp_impl=dp_impl,
     )
 
 
