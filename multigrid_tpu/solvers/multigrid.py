@@ -61,6 +61,7 @@ class MultigridSolver:
         dp_impl: str = "sumfac",
         coarse_smoothing_range: float = 1e-3,
         finest_degree: Optional[int] = None,
+        chebyshev_kind: str = FIRST_KIND,
     ):
         assert n_pre == n_post, "reference requires equal pre/post degree"
         self.mesh = mesh
@@ -159,7 +160,7 @@ class MultigridSolver:
                     smoothing_range=20.0,
                     degree=2 * deg,
                     eig_cg_n_iterations=15,
-                    kind=FIRST_KIND,
+                    kind=chebyshev_kind,
                 )
             else:
                 sm = Chebyshev.create(
