@@ -166,33 +166,67 @@ class DGLaplace:
         vec = self.f[side].reshape((1,) * axis + (self.n,) + (1,) * (self.dim - 1 - d))
         return jnp.expand_dims(t, axis) * vec
 
-    def _neighbor(self, tr_opp, own, d, side):
+    def _neighbor(self, tr_opp, own, d, side, ext=None):
         """Neighbor trace across face (d, side); domain boundary uses the
-        Dirichlet mirror of ``own``."""
+        Dirichlet mirror of ``own`` unless an external ghost layer ``ext``
+        (from a neighboring device's slab) is supplied."""
         if side == 1:
             inner = jax.lax.slice_in_dim(tr_opp, 1, tr_opp.shape[d], axis=d)
-            mirror = -jax.lax.slice_in_dim(own, own.shape[d] - 1, own.shape[d], axis=d)
-            return jnp.concatenate([inner, mirror], axis=d)
+            edge = (-jax.lax.slice_in_dim(own, own.shape[d] - 1, own.shape[d], axis=d)
+                    if ext is None else ext)
+            return jnp.concatenate([inner, edge], axis=d)
         inner = jax.lax.slice_in_dim(tr_opp, 0, tr_opp.shape[d] - 1, axis=d)
-        mirror = -jax.lax.slice_in_dim(own, 0, 1, axis=d)
-        return jnp.concatenate([mirror, inner], axis=d)
+        edge = -jax.lax.slice_in_dim(own, 0, 1, axis=d) if ext is None else ext
+        return jnp.concatenate([edge, inner], axis=d)
 
-    def _neighbor_grad(self, tr_opp, own, d, side):
+    def _neighbor_grad(self, tr_opp, own, d, side, ext=None):
         """Same shift for normal-derivative traces: mirror keeps the value
         (u+ = -u-, n.grad u+ = n.grad u-)."""
         if side == 1:
             inner = jax.lax.slice_in_dim(tr_opp, 1, tr_opp.shape[d], axis=d)
-            mirror = jax.lax.slice_in_dim(own, own.shape[d] - 1, own.shape[d], axis=d)
-            return jnp.concatenate([inner, mirror], axis=d)
+            edge = (jax.lax.slice_in_dim(own, own.shape[d] - 1, own.shape[d], axis=d)
+                    if ext is None else ext)
+            return jnp.concatenate([inner, edge], axis=d)
         inner = jax.lax.slice_in_dim(tr_opp, 0, tr_opp.shape[d] - 1, axis=d)
-        mirror = jax.lax.slice_in_dim(own, 0, 1, axis=d)
-        return jnp.concatenate([mirror, inner], axis=d)
+        edge = jax.lax.slice_in_dim(own, 0, 1, axis=d) if ext is None else ext
+        return jnp.concatenate([edge, inner], axis=d)
+
+    def boundary_traces(self, u: jnp.ndarray, d: int = 0):
+        """The (value, gvec.grad_ref) traces of the first/last cell layer
+        along axis ``d`` — the compressed 2-plane ghost payload a neighbor
+        needs (the reference ships exactly this via its Hermite packing,
+        /root/reference/common/laplace_operator_dg.h:1017-1039).
+
+        Returns {side: (u_trace_layer, gn_trace_layer)} where side is the
+        face of THIS slab (0 = low end, 1 = high end), each array with the
+        cell axis d reduced to one layer."""
+        dim = self.dim
+        v = u if self.is_collocation else self._sweep(u, self.S)
+        g = [self._apply(v, self.D, e) for e in range(dim)]
+        fd = self.face[d]
+        out = {}
+        for s in (0, 1):
+            layer = (0, 1) if s == 0 else (u.shape[d] - 1, u.shape[d])
+            vL = jax.lax.slice_in_dim(v, *layer, axis=d)
+            tu = self._trace(vL, d, s)
+            tg = None
+            for e in range(dim):
+                gL = jax.lax.slice_in_dim(g[e], *layer, axis=d)
+                term = fd["gvec"][e] * self._trace(gL, d, s)
+                tg = term if tg is None else tg + term
+            out[s] = (tu, tg)
+        return out
 
     # --------------------------------------------------------------- vmult
-    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, u: jnp.ndarray, ext=None) -> jnp.ndarray:
         """y = A u (full SIP operator); cf. vmult_with_merged_ops action 0
-        (/root/reference/common/laplace_operator_dg.h:963-1108)."""
+        (/root/reference/common/laplace_operator_dg.h:963-1108).
+
+        ``ext``: optional {(d, side): (u_trace, gn_trace)} ghost layers from
+        neighboring subdomains, replacing the Dirichlet mirror at the
+        corresponding slab edge (distributed halo path)."""
         dim, n = self.dim, self.n
+        ext = ext or {}
         v = u if self.is_collocation else self._sweep(u, self.S)
         g = [self._apply(v, self.D, d) for d in range(dim)]
 
@@ -221,8 +255,11 @@ class DGLaplace:
                 sign = 1.0 if s == 1 else -1.0
                 u_m = tr_u[s]
                 gn_m = sign * tr_gn[s]
-                u_p = self._neighbor(tr_u[1 - s], u_m, d, s)
-                gn_p = sign * self._neighbor_grad(tr_gn[1 - s], sign * gn_m, d, s)
+                ext_u, ext_g = ext.get((d, s), (None, None))
+                u_p = self._neighbor(tr_u[1 - s], u_m, d, s, ext=ext_u)
+                gn_p = sign * self._neighbor_grad(
+                    tr_gn[1 - s], sign * gn_m, d, s, ext=ext_g
+                )
                 jump = u_m - u_p
                 t_val = fd["sigma"] * jump - 0.5 * (gn_m + gn_p)
                 t_gr = -0.5 * jump
