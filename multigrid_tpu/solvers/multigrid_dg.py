@@ -86,7 +86,8 @@ class _DGOuterCG:
         return res.x, frac_its, rate
 
     def l2_error(self, u, exact_quad):
-        return float(self.op_dp.l2_error(u, exact_quad))
+        op = getattr(self, "op_ref", self.op_dp)
+        return float(op.l2_error(u, exact_quad))
 
 
 class MultigridSolverDG(_DGOuterCG):
@@ -102,6 +103,7 @@ class MultigridSolverDG(_DGOuterCG):
         v_dtype=jnp.float32,
         f_dtype=jnp.float64,
         sp_impl: str = "sumfac",
+        dp_impl: str = "sumfac",
     ):
         assert n_pre == n_post
         self.mesh = mesh
@@ -115,7 +117,13 @@ class MultigridSolverDG(_DGOuterCG):
         L = mesh.max_level
         self.dg_grid = _dg_grid_from_mesh(mesh, L, degree, kind)
         self.op = DGLaplace(self.dg_grid, v_dtype)
-        self.op_dp = DGLaplace(self.dg_grid, f_dtype)
+        self.op_ref = DGLaplace(self.dg_grid, f_dtype)   # rhs/error assembly
+        if dp_impl == "df64":
+            from ..ops.dg_df64 import DGLaplaceDF64
+
+            self.op_dp = DGLaplaceDF64(self.dg_grid)
+        else:
+            self.op_dp = self.op_ref
         self.jacobi = JacobiTransformed(self.op)
         self.coupling = CGDGCoupling(self.cg.grids[L], self.dg_grid, v_dtype)
         self.smooth_dg = Chebyshev.create(
@@ -133,7 +141,7 @@ class MultigridSolverDG(_DGOuterCG):
         quads = _quad_coords_block(self.dg_grid, mesh, L)
         f_quad = jnp.asarray(np.asarray(rhs_fn(quads), np.float64), f_dtype)
         f_quad = jnp.broadcast_to(f_quad, self.dg_grid.shape)
-        self.rhs = self.op_dp.compute_rhs(f_quad)
+        self.rhs = self.op_ref.compute_rhs(f_quad)
         self.exact_quad = jnp.asarray(
             np.broadcast_to(np.asarray(exact_fn(quads), np.float64), self.dg_grid.shape),
             f_dtype,

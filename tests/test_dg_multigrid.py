@@ -48,3 +48,17 @@ def test_poisson_dg_plain_solver():
         errs.append(s.l2_error(sol, s.exact_quad))
     rate_l2 = np.log2(errs[0] / errs[1])
     assert rate_l2 > 3.4, (errs, rate_l2)
+
+
+def test_poisson_dg_solver_df64():
+    """dp operator in compensated f32 pairs (TPU dp path) gives the same
+    convergence as native f64."""
+    mesh = cube(2, 0.0, 1.0, 1, dim=2)
+    s = MultigridSolverDG(mesh, 3, exact_fn, rhs_fn, kind="hermite",
+                          dp_impl="df64")
+    sol, frac_its, rate = s.solve_cg(tolerance=1e-10)
+    assert rate < 0.35
+    s2 = MultigridSolverDG(mesh, 3, exact_fn, rhs_fn, kind="hermite")
+    sol2, _, _ = s2.solve_cg(tolerance=1e-10)
+    import numpy as _np
+    assert _np.allclose(_np.asarray(sol), _np.asarray(sol2), atol=1e-9)
