@@ -2,10 +2,9 @@
 
 Port of /root/reference/poisson_shell/program.cc: coefficient
 ``1 + 1e6 prod_e cos^2(2 pi x_e + 0.1 e)``, solution ``sin(2 pi (x+y))``,
-spherical shell r in [0.5, 1], mixed fp32/fp64 FMG + CG-V-cycle.  The
-reference alternates 6- and 12-cell coarse shells per cycle
-(program.cc:424-431); this build uses the 6-block cubed sphere with a
-tangential subdivision parameter instead.
+spherical shell r in [0.5, 1], mixed fp32/fp64 FMG + CG-V-cycle,
+alternating the 6-block cubed-sphere and the 12-block rhombic-dodecahedron
+coarse shells per cycle as the reference does (program.cc:424-431).
 """
 
 from __future__ import annotations
@@ -15,7 +14,7 @@ import time
 
 import numpy as np
 
-from multigrid_tpu.mesh.shapes import hyper_shell
+from multigrid_tpu.mesh.shapes import hyper_shell, hyper_shell_12
 from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
 
 
@@ -73,8 +72,10 @@ def main():
     rows = []
     for cycle in range(8):
         n_levels = 1 + cycle // 2
-        tang = 2 if cycle % 2 == 0 else 3
-        mesh = hyper_shell(0.5, 1.0, n_levels=n_levels, coarse_tangential=tang)
+        if cycle % 2 == 0:
+            mesh = hyper_shell(0.5, 1.0, n_levels=n_levels)
+        else:
+            mesh = hyper_shell_12(0.5, 1.0, n_levels=n_levels)
         g_dofs = None
         s = GeneralMultigridSolver(
             mesh, args.degree, exact_fn, rhs_fn, coef_fn=coef_fn,

@@ -57,6 +57,72 @@ def hyper_shell(r_in: float = 0.5, r_out: float = 1.0, n_levels: int = 1,
     return MappedMesh(blocks=blocks, n_levels=n_levels, boundary_fn=boundary_fn)
 
 
+def hyper_shell_12(r_in: float = 0.5, r_out: float = 1.0, n_levels: int = 1,
+                   coarse_radial: int = 1, coarse_tangential: int = 1) -> MappedMesh:
+    """12-block spherical shell: rhombic-dodecahedron faces projected to the
+    sphere (the deal.II 12-cell coarse shell,
+    /root/reference/poisson_shell/program.cc:429)."""
+    cube_v = {tuple(s): np.array(s) / np.sqrt(3.0)
+              for s in [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
+                        for sz in (-1, 1)]}
+    octa_v = []
+    for k in range(3):
+        for sgn in (-1, 1):
+            v = np.zeros(3)
+            v[k] = sgn
+            octa_v.append(v)
+
+    blocks = []
+    # one rhombic face per cube edge: its two cube corners + the two
+    # face-center (octahedron) vertices adjacent to that edge
+    for k in range(3):            # edge direction
+        a, b = (k + 1) % 3, (k + 2) % 3
+        for sa in (-1, 1):
+            for sb in (-1, 1):
+                e1 = np.zeros(3)
+                e2 = np.zeros(3)
+                lo = np.zeros(3)
+                hi = np.zeros(3)
+                lo[a], lo[b], lo[k] = sa, sb, -1
+                hi[a], hi[b], hi[k] = sa, sb, 1
+                c1 = cube_v[tuple(int(x) for x in lo)]
+                c2 = cube_v[tuple(int(x) for x in hi)]
+                o1 = np.zeros(3)
+                o1[a] = sa
+                o2 = np.zeros(3)
+                o2[b] = sb
+
+                def make_mapping(c1, c2, o1, o2):
+                    def mapping(p):
+                        s = p[:, 0]
+                        u = p[:, 1]
+                        v = p[:, 2]
+                        q = (
+                            np.multiply.outer((1 - u) * (1 - v), c1)
+                            + np.multiply.outer(u * (1 - v), o1)
+                            + np.multiply.outer((1 - u) * v, o2)
+                            + np.multiply.outer(u * v, c2)
+                        )
+                        norm = np.sqrt((q * q).sum(axis=1))
+                        r = r_in + s * (r_out - r_in)
+                        return q * (r / norm)[:, None]
+
+                    return mapping
+
+                blocks.append(Block(
+                    cells=(coarse_radial, coarse_tangential, coarse_tangential),
+                    mapping=make_mapping(c1, c2, o1, o2),
+                ))
+
+    tol = 1e-6 * r_out
+
+    def boundary_fn(x):
+        r = np.sqrt((x * x).sum(axis=1))
+        return (np.abs(r - r_in) < tol) | (np.abs(r - r_out) < tol)
+
+    return MappedMesh(blocks=blocks, n_levels=n_levels, boundary_fn=boundary_fn)
+
+
 def hyper_ball_2d(radius: float = 1.0, n_levels: int = 1) -> MappedMesh:
     """5-block disc: central square + 4 transfinite ring blocks (the 2-D
     ``hyper_ball`` layout used by minimal_surface)."""

@@ -114,3 +114,17 @@ def test_ball_mesh_geometry():
     assert g.detJ.min() > 0
     rb = np.linalg.norm(g.node_coords[g.boundary], axis=1)
     assert np.allclose(rb, 1.0, atol=1e-9)
+
+
+def test_shell_12_block():
+    from multigrid_tpu.mesh.shapes import hyper_shell_12
+
+    mesh = hyper_shell_12(0.5, 1.0, n_levels=2)
+    g = GeneralGrid(mesh, 1, 2)
+    vol = float(g.jxw.sum())
+    expect = 4.0 / 3.0 * np.pi * (1.0 - 0.125)
+    assert abs(vol - expect) / expect < 1e-4
+    assert g.detJ.min() > 0
+    s = GeneralMultigridSolver(mesh, 2, exact_fn, rhs_fn, n_cycles=2)
+    sol, its, red = s.solve_cg()
+    assert its <= 10 and red < 0.2
