@@ -45,3 +45,47 @@ def test_halo_dot_matches(setup):
     dot = halo.dot_distributed()
     got = float(np.asarray(dot(halo.distribute(a), halo.distribute(b)))[0])
     assert got == pytest.approx(float(jnp.vdot(a, b)), rel=1e-12)
+
+
+def test_halo_cg_end_to_end(setup):
+    """Several CG iterations run entirely in the distributed layout (halo
+    vmult + ownership-masked dots) match the single-device CG."""
+    op, halo = setup
+    vmult, masks = halo.vmult_distributed()
+    dot = halo.dot_distributed()
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(op.grid.shape))
+    b = jnp.where(op.interior, b, 0)
+
+    def dist_dot(a, c):
+        return jnp.asarray(dot(a, c))[0]
+
+    # distributed CG (5 iterations)
+    bd = halo.distribute(b)
+    x = jnp.zeros_like(bd)
+    r = bd
+    p = r
+    rz = dist_dot(r, r)
+    for _ in range(5):
+        q = vmult(p, masks)
+        alpha = rz / dist_dot(p, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        rz2 = dist_dot(r, r)
+        p = r + (rz2 / rz) * p
+        rz = rz2
+    x_dist = np.asarray(halo.collect(x))
+
+    # reference CG
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rz = jnp.vdot(r, r)
+    for _ in range(5):
+        q = op.vmult(p)
+        alpha = rz / jnp.vdot(p, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        rz2 = jnp.vdot(r, r)
+        p = r + (rz2 / rz) * p
+        rz = rz2
+    assert np.allclose(x_dist, np.asarray(x), atol=1e-10)
