@@ -23,15 +23,14 @@ def main():
     import numpy as np
 
     from multigrid_tpu.mesh.brick import DofGrid, poisson_cube_mesh
-    from multigrid_tpu.ops.laplace_dense import DenseLaplaceOzaki
+    from multigrid_tpu.ops.laplace_dense import DenseLaplaceOzakiChunked
 
     degree = 4
     # pick the largest ladder size that fits comfortably in one chip's HBM
-    # 96 (57M dofs) is the largest p=4 ladder size whose Ozaki intermediates
-    # fit one v5e chip; 128 (135M) needs the memory-lean fused kernel path
-    sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "96 64").split()]
+    # 128 = the reference's flagship 135M-dof case (README.md:124)
+    sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "128 96 64").split()]
     result = None
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     if use_pallas:
         # probe Mosaic availability in a subprocess: a failed Pallas compile
         # leaks device allocations and poisons the process
@@ -65,7 +64,7 @@ def main():
 
                 op = PallasOzakiLaplace(grid)
             else:
-                op = DenseLaplaceOzaki(grid)
+                op = DenseLaplaceOzakiChunked(grid)
             vmult = jax.jit(op.vmult)
             x = jnp.asarray(
                 np.random.default_rng(0).standard_normal(grid.shape), jnp.float64

@@ -93,12 +93,12 @@ class MultigridSolver:
             ]
         else:
             self.sp_ops = self.ops
-        if dp_impl == "ozaki":
-            from ..ops.laplace_dense import DenseLaplaceOzaki
+        if dp_impl in ("ozaki", "ozaki_chunked"):
+            from ..ops.laplace_dense import DenseLaplaceOzaki, DenseLaplaceOzakiChunked
 
+            cls = DenseLaplaceOzakiChunked if dp_impl == "ozaki_chunked" else DenseLaplaceOzaki
             self.dp_ops = [
-                DenseLaplaceOzaki(g, make_diag_coef(g, coefficient))
-                for g in self.grids
+                cls(g, make_diag_coef(g, coefficient)) for g in self.grids
             ]
         elif dp_impl == "df64":
             from ..ops.laplace_df64 import LaplaceOperatorDF64

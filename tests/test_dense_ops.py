@@ -37,3 +37,13 @@ def test_dense_ozaki(setup):
     r64 = x * 0.5 - y64
     r64 = jnp.where(op.interior, r64, x * 0.5 - x)
     assert float(jnp.linalg.norm(r - r64) / jnp.linalg.norm(r64)) < 1e-9
+
+
+def test_dense_ozaki_chunked(setup):
+    from multigrid_tpu.ops.laplace_dense import DenseLaplaceOzakiChunked
+
+    grid, y64, x = setup
+    op = DenseLaplaceOzakiChunked(grid)
+    y = jax.jit(op.vmult)(x)
+    rel = float(jnp.linalg.norm(y - y64) / jnp.linalg.norm(y64))
+    assert rel < 5e-11
