@@ -84,12 +84,12 @@ class MultigridSolver:
         ]
         # hot-path operator implementations; the sum-factorized einsum ops
         # above stay for setup tasks (rhs assembly, diagonals, L2 errors)
-        if sp_impl == "dense":
-            from ..ops.laplace_dense import DenseLaplaceF32
+        if sp_impl in ("dense", "dense_chunked"):
+            from ..ops.laplace_dense import DenseLaplaceF32, DenseLaplaceF32Chunked
 
+            cls = DenseLaplaceF32Chunked if sp_impl == "dense_chunked" else DenseLaplaceF32
             self.sp_ops = [
-                DenseLaplaceF32(g, make_diag_coef(g, coefficient))
-                for g in self.grids
+                cls(g, make_diag_coef(g, coefficient)) for g in self.grids
             ]
         else:
             self.sp_ops = self.ops

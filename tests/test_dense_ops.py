@@ -47,3 +47,13 @@ def test_dense_ozaki_chunked(setup):
     y = jax.jit(op.vmult)(x)
     rel = float(jnp.linalg.norm(y - y64) / jnp.linalg.norm(y64))
     assert rel < 5e-11
+
+
+def test_dense_f32_chunked(setup):
+    from multigrid_tpu.ops.laplace_dense import DenseLaplaceF32Chunked
+
+    grid, y64, x = setup
+    op = DenseLaplaceF32Chunked(grid)
+    y = jax.jit(op.vmult)(x.astype(jnp.float32))
+    rel = float(jnp.linalg.norm(y.astype(jnp.float64) - y64) / jnp.linalg.norm(y64))
+    assert rel < 5e-7
