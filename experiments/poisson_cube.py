@@ -35,8 +35,8 @@ def rhs_fn(coords):
 
 
 def build_solver(mesh: BrickMesh, degree: int, n_pre: int = 2, n_post: int = 2,
-                 n_cycles: int = 2, sp_impl: str = "sumfac",
-                 dp_impl: str = "sumfac") -> MultigridSolver:
+                 n_cycles: int = 2, sp_impl: str = "dense_chunked",
+                 dp_impl: str = "ozaki_chunked") -> MultigridSolver:
     return MultigridSolver(
         mesh, degree, exact_fn, rhs_fn,
         n_pre=n_pre, n_post=n_post, n_cycles=n_cycles,
@@ -88,9 +88,10 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
         best_mv = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            y = x
+            # re-apply to the fixed input each rep: chaining y = fn(y)
+            # amplifies by lambda_max per apply and overflows f32
             for _ in range(n_matvec):
-                y = fn(y)
+                y = fn(x)
             y.block_until_ready()
             best_mv = min(best_mv, (time.perf_counter() - t0) / n_matvec)
         row[name] = best_mv

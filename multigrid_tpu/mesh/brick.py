@@ -82,6 +82,10 @@ def poisson_cube_mesh(size: int, dim: int = 3) -> BrickMesh:
         while n_subdiv % 2 == 0:
             n_refine += 1
             n_subdiv //= 2
+    if dim == 2:
+        # reference refines 2-D meshes three extra times
+        # (/root/reference/poisson_cube/program.cc:540-541)
+        n_refine += 3
     return cube(n_subdiv, -0.9, 1.0, n_refine, dim)
 
 

@@ -56,22 +56,54 @@ def load():
         return _lib
 
 
-def unique_nodes(coords: np.ndarray, tol: float):
-    """Returns (n_unique, inverse) for rounded-coordinate identification."""
+def _quantize_labels(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Group labels from one rounded-coordinate hashing (native or numpy)."""
     lib = load()
-    coords = np.ascontiguousarray(coords, np.float64)
     n, dim = coords.shape
     if lib is not None:
         inverse = np.empty(n, np.int64)
-        n_unique = lib.mg_unique_nodes(
+        lib.mg_unique_nodes(
             coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             n, dim, tol,
             inverse.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
-        return int(n_unique), inverse
+        return inverse
     keys = np.round(coords / tol).astype(np.int64)
-    uniq, inverse = np.unique(keys, axis=0, return_inverse=True)
-    return uniq.shape[0], inverse
+    _, inverse = np.unique(keys, axis=0, return_inverse=True)
+    return inverse
+
+
+def unique_nodes(coords: np.ndarray, tol: float):
+    """Returns (n_unique, inverse) for rounded-coordinate identification.
+
+    Robust to half-quantum boundary straddles: two copies of the same
+    physical node computed through different block mappings differ by
+    ~1e-16*scale and can land on opposite sides of a rounding boundary.
+    We therefore hash at two offset quantizations (round(x/tol) and
+    round(x/tol + 1/2)) and merge the groupings by min-label propagation
+    (connected components of the two partitions), so a pair missed by one
+    grid is caught by the other; a simultaneous miss needs a coordinate
+    sitting on both grids' boundaries, which cannot happen (they are
+    tol/2 apart).
+    """
+    coords = np.ascontiguousarray(coords, np.float64)
+    n = coords.shape[0]
+    inv_a = _quantize_labels(coords, tol)
+    inv_b = _quantize_labels(coords + 0.5 * tol, tol)
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(16):
+        changed = False
+        for inv in (inv_a, inv_b):
+            gmin = np.full(int(inv.max()) + 1, n, np.int64)
+            np.minimum.at(gmin, inv, lab)
+            new = gmin[inv]
+            if not np.array_equal(new, lab):
+                changed = True
+                lab = new
+        if not changed:
+            break
+    uniq, inverse = np.unique(lab, return_inverse=True)
+    return int(uniq.shape[0]), inverse
 
 
 def block_cell_nodes(cells, degree: int) -> np.ndarray:

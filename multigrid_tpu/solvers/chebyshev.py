@@ -60,12 +60,17 @@ def estimate_eigenvalues(
     def run(rhs):
         z0 = precond(rhs)
         rz0 = jnp.vdot(rhs, z0)
+        # stop contributing once CG has converged to rounding level (the
+        # reference's full-size coarse-level estimate relies on deal.II's
+        # CG stopping early; stagnated Lanczos tails would pollute T)
+        eps = jnp.finfo(rhs.dtype).eps
+        floor = (100.0 * eps) ** 2 * rz0
 
         def step(carry, _):
             r, p, rz, valid = carry
             q = vmult(p)
             pq = jnp.vdot(p, q)
-            ok = valid & (pq > 0) & (rz > 0)
+            ok = valid & (pq > 0) & (rz > floor)
             alpha = jnp.where(ok, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
             r2 = r - alpha * q
             z = precond(r2)
@@ -123,7 +128,7 @@ class Chebyshev:
         degree: Optional[int],
         eig_cg_n_iterations: int,
         kind: str = FIRST_KIND,
-        max_estimate_iterations: int = 80,
+        max_estimate_iterations: Optional[int] = None,
         precond: Optional[Callable] = None,
         example: Optional[jnp.ndarray] = None,
     ) -> "Chebyshev":
@@ -131,18 +136,28 @@ class Chebyshev:
             precond = lambda r: inv_diag * r
         if example is None:
             example = inv_diag
-        n_it = min(eig_cg_n_iterations, max_estimate_iterations)
+        # the reference's coarse level runs the estimate to the full matrix
+        # size (multigrid_solver.h:284); no silent cap
+        n_it = eig_cg_n_iterations
+        if max_estimate_iterations is not None:
+            n_it = min(n_it, max_estimate_iterations)
         rhs0 = eig_estimate_start_vector(example.shape, example.dtype)
         max_eig, min_eig = estimate_eigenvalues(vmult_op, precond, n_it, rhs0)
-        # deal.II PreconditionChebyshev interval conventions
-        beta_ub = 1.2 * max_eig
+        # deal.II PreconditionChebyshev interval conventions: the Lanczos
+        # top Ritz value is boosted by the 1.2 safety factor FIRST
+        # (max_eigenvalue_estimate = 1.2 * lambda_hat) and BOTH interval
+        # ends derive from the boosted value, so the interval ratio is
+        # exactly ``smoothing_range``.  (Getting this wrong — boosting only
+        # the upper end — widens the ratio to 1.2*range and visibly changes
+        # the reference's V-cycle reductions and CG iteration counts.)
+        max_est = 1.2 * max_eig
         if smoothing_range > 1.0:
-            alpha_lb = max_eig / smoothing_range
+            alpha_lb = max_est / smoothing_range
         else:
-            alpha_lb = min(0.9 * max_eig, min_eig)
+            alpha_lb = min(0.9 * max_est, min_eig)
         if degree is None:
             # choose degree to reduce the full range by eps=smoothing_range
-            actual_range = max_eig / alpha_lb if alpha_lb > 0 else 1e4
+            actual_range = max_est / alpha_lb if alpha_lb > 0 else 1e4
             sigma = (1.0 - np.sqrt(1.0 / actual_range)) / (
                 1.0 + np.sqrt(1.0 / actual_range)
             )
@@ -152,14 +167,23 @@ class Chebyshev:
                 + np.log(1.0 / eps + np.sqrt(1.0 / eps / eps - 1.0))
                 / np.log(1.0 / sigma)
             )
-        theta = 0.5 * (beta_ub + alpha_lb)
-        delta = 0.5 * (beta_ub - alpha_lb)
+        # ``degree`` carries deal.II semantics: k operator applications in
+        # ``vmult`` and an error polynomial of degree k+1 per pass.  The
+        # recurrence below counts preconditioner applications, i.e. its
+        # count is k+1 (vmult: k+1 diagonal scalings, k matvecs).  The
+        # k+1-degree polynomial (not k, not 2k) together with the exact
+        # interval above reproduces the reference transcript's V-cycle
+        # reductions 0.109/0.161/0.182/0.132 and cg_its = 8 row-for-row
+        # (/root/reference/README.md:136-159).
+        n_apps = int(degree) + 1 if kind == FIRST_KIND else int(degree)
+        theta = 0.5 * (max_est + alpha_lb)
+        delta = 0.5 * (max_est - alpha_lb)
         return Chebyshev(
             vmult_op=vmult_op,
             precond=precond,
             theta=float(theta),
             delta=float(delta),
-            degree=int(degree),
+            degree=n_apps,
             max_eig=max_eig,
             min_eig=min_eig,
             kind=kind,

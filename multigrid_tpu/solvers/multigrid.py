@@ -57,8 +57,8 @@ class MultigridSolver:
         n_cycles: int = 1,
         v_dtype=jnp.float32,
         f_dtype=jnp.float64,
-        sp_impl: str = "sumfac",
-        dp_impl: str = "sumfac",
+        sp_impl: str = "dense_chunked",
+        dp_impl: str = "ozaki_chunked",
         coarse_smoothing_range: float = 1e-3,
         finest_degree: Optional[int] = None,
         chebyshev_kind: str = FIRST_KIND,
@@ -83,23 +83,33 @@ class MultigridSolver:
             for g in self.grids
         ]
         # hot-path operator implementations; the sum-factorized einsum ops
-        # above stay for setup tasks (rhs assembly, diagonals, L2 errors)
+        # above stay for setup tasks (rhs assembly, diagonals, L2 errors).
+        # The "*_chunked" variants lax.map over z-cell layers (on-chip
+        # working sets, required at the 135M-dof flagship); below the
+        # threshold the monolithic single-matmul form is cheaper.
+        chunk_threshold = 1_000_000
         if sp_impl in ("dense", "dense_chunked"):
             from ..ops.laplace_dense import DenseLaplaceF32, DenseLaplaceF32Chunked
 
-            cls = DenseLaplaceF32Chunked if sp_impl == "dense_chunked" else DenseLaplaceF32
-            self.sp_ops = [
-                cls(g, make_diag_coef(g, coefficient)) for g in self.grids
-            ]
+            def _sp(g):
+                if (sp_impl == "dense_chunked" and g.dim == 3
+                        and g.n_dofs > chunk_threshold):
+                    return DenseLaplaceF32Chunked(g, make_diag_coef(g, coefficient))
+                return DenseLaplaceF32(g, make_diag_coef(g, coefficient))
+
+            self.sp_ops = [_sp(g) for g in self.grids]
         else:
             self.sp_ops = self.ops
         if dp_impl in ("ozaki", "ozaki_chunked"):
             from ..ops.laplace_dense import DenseLaplaceOzaki, DenseLaplaceOzakiChunked
 
-            cls = DenseLaplaceOzakiChunked if dp_impl == "ozaki_chunked" else DenseLaplaceOzaki
-            self.dp_ops = [
-                cls(g, make_diag_coef(g, coefficient)) for g in self.grids
-            ]
+            def _dp(g):
+                if (dp_impl == "ozaki_chunked" and g.dim == 3
+                        and g.n_dofs > chunk_threshold):
+                    return DenseLaplaceOzakiChunked(g, make_diag_coef(g, coefficient))
+                return DenseLaplaceOzaki(g, make_diag_coef(g, coefficient))
+
+            self.dp_ops = [_dp(g) for g in self.grids]
         elif dp_impl == "df64":
             from ..ops.laplace_df64 import LaplaceOperatorDF64
 
@@ -123,7 +133,8 @@ class MultigridSolver:
         self.bmask = [jnp.asarray(g.boundary_mask()) for g in self.grids]
         self.u_bc = []
         self.rhs = []
-        self.exact_quad = []
+        self._exact_fn = exact_fn
+        self._exact_quad_cache = {}
         for l, g in enumerate(self.grids):
             nodes = g.node_coords()
             vals = np.asarray(exact_fn(nodes), dtype=np.float64)
@@ -135,22 +146,16 @@ class MultigridSolver:
             quads = g.quad_coords_interleaved()
             f_quad = jnp.asarray(np.asarray(rhs_fn(quads), dtype=np.float64), f_dtype)
             self.rhs.append(jax.jit(self.ops_dp[l].compute_rhs)(f_quad, ubc))
-            self.exact_quad.append(
-                jnp.asarray(np.asarray(exact_fn(quads), dtype=np.float64), f_dtype)
-            )
+            del f_quad
 
         # Chebyshev smoothers (multigrid_solver.h:268-291)
         self.smoothers = []
         for l in range(L):
             inv_diag = jax.jit(self.ops[l].inverse_diagonal)()
             if l > self.minlevel:
-                # NOTE on the degree: the observable behavior of the reference
-                # (two-grid reduction 0.109 at 729 dofs, cg_its = 8, and the
-                # smoother/matvec wall-time ratios in README.md:110-124) pins
-                # deal.II's ``degree = n_pre`` smoother to a Chebyshev error
-                # polynomial of degree 2*n_pre per smoothing pass; a plain
-                # T_{n_pre} polynomial on [max/20, 1.2 max] gives two-grid
-                # 0.48 and cg_its = 13, far off the reference transcript.
+                # deal.II semantics: smoother_data.degree = n_pre literally
+                # (/root/reference/common/multigrid_solver.h:275); the
+                # interval/degree mapping lives in Chebyshev.create.
                 deg = n_pre
                 if finest_degree is not None and l == self.maxlevel:
                     deg = finest_degree
@@ -158,7 +163,7 @@ class MultigridSolver:
                     self.sp_ops[l].vmult,
                     inv_diag,
                     smoothing_range=20.0,
-                    degree=2 * deg,
+                    degree=deg,
                     eig_cg_n_iterations=15,
                     kind=chebyshev_kind,
                 )
@@ -180,6 +185,17 @@ class MultigridSolver:
         self._vcycle_jits = {}
         self._resid_jits = {}
         self._misc_jits = {}
+
+    def exact_on_quad(self, level: int) -> jnp.ndarray:
+        """Analytic solution at the quadrature points of one level (lazily
+        built: at the flagship size this array is ~2GB dp and is only
+        needed by the analysis paths, never by the timed solves)."""
+        if level not in self._exact_quad_cache:
+            quads = self.grids[level].quad_coords_interleaved()
+            self._exact_quad_cache[level] = jnp.asarray(
+                np.asarray(self._exact_fn(quads), dtype=np.float64), self.f_dtype
+            )
+        return self._exact_quad_cache[level]
 
     def _jit_of(self, key, fn):
         if key not in self._misc_jits:
@@ -316,7 +332,7 @@ class MultigridSolver:
     # ----------------------------------------------------------- analysis
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
         u = jnp.where(self.bmask[level], self.u_bc[level], sol)
-        return float(self.ops_dp[level].l2_error(u, self.exact_quad[level]))
+        return float(self.ops_dp[level].l2_error(u, self.exact_on_quad(level)))
 
     def v_cycle_timed(self, level: int, defect: jnp.ndarray, n_cyc: int,
                       timings) -> jnp.ndarray:

@@ -102,8 +102,8 @@ class MultigridSolverDG(_DGOuterCG):
         n_post: int = 2,
         v_dtype=jnp.float32,
         f_dtype=jnp.float64,
-        sp_impl: str = "sumfac",
-        dp_impl: str = "sumfac",
+        sp_impl: str = "dense_chunked",
+        dp_impl: str = "ozaki_chunked",
     ):
         assert n_pre == n_post
         self.mesh = mesh
@@ -130,7 +130,7 @@ class MultigridSolverDG(_DGOuterCG):
             self.op.vmult,
             None,
             smoothing_range=20.0,
-            degree=2 * n_pre,
+            degree=n_pre,
             eig_cg_n_iterations=15,
             kind=FIRST_KIND,
             precond=self.jacobi.vmult,
@@ -193,7 +193,7 @@ class MultigridSolverDGPlain(_DGOuterCG):
                 deg = n_pre if l < self.maxlevel else max(1, n_pre - 1)
                 sm = Chebyshev.create(
                     self.ops[l].vmult, None, smoothing_range=20.0,
-                    degree=2 * deg, eig_cg_n_iterations=15, kind=FIRST_KIND,
+                    degree=deg, eig_cg_n_iterations=15, kind=FIRST_KIND,
                     precond=jac.vmult,
                     example=jnp.zeros(self.grids[l].shape, v_dtype),
                 )

@@ -88,7 +88,7 @@ class GeneralMultigridSolver:
             if l > self.minlevel:
                 sm = Chebyshev.create(
                     self.ops[l].vmult, inv_diag, smoothing_range=20.0,
-                    degree=2 * n_pre, eig_cg_n_iterations=15, kind=FIRST_KIND,
+                    degree=n_pre, eig_cg_n_iterations=15, kind=FIRST_KIND,
                 )
             else:
                 sm = Chebyshev.create(
@@ -168,7 +168,7 @@ class GeneralMultigridSolver:
             if l > self.minlevel:
                 sm = Chebyshev.create(
                     self.ops[l].vmult, inv_diag, smoothing_range=20.0,
-                    degree=2 * self._n_pre, eig_cg_n_iterations=15,
+                    degree=self._n_pre, eig_cg_n_iterations=15,
                     kind=FIRST_KIND,
                 )
             else:

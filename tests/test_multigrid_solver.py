@@ -2,11 +2,17 @@
 reference transcript (/root/reference/README.md:136-159) — SURVEY.md §4
 tiers c and d.
 
-Targets (p=4, 3-D poisson_cube, mixed fp32/fp64, 2 V-cycles, 2+2 smoothing):
+Exact-parity assertions (p=4, 3-D poisson_cube, mixed fp32/fp64, 2 V-cycles,
+2+2 smoothing).  Reference rows (cells, dofs, reduction, fmg_L2error,
+cg_its, cg_reduction):
 
-* 8 cells/dim   (512 cells, 35937 dofs):  cg_its = 8, cg_red ~ 6.7e-2,
-  V-cycle reduction ~ 0.13, fmg_L2error ~ 4.0e-4
-* CG converges to rtol 1e-9 in 8 iterations, mesh-independently.
+* size 2:   8 cells,   729 dofs, red 1.092e-1, err 1.737e-1, 8, 5.677e-2
+* size 4:  64 cells,  4913 dofs, red 1.613e-1, err 1.166e-2, 8, 6.789e-2
+* size 8: 512 cells, 35937 dofs, red 1.319e-1, err 4.037e-4, 8, 6.689e-2
+
+The V-cycle reduction and cg_reduction must match deal.II to ~2% — this
+pins the full Chebyshev semantics chain (1.2-boosted Lanczos estimate,
+interval ratio = smoothing_range, error polynomial degree n_pre+1).
 """
 
 import numpy as np
@@ -14,6 +20,13 @@ import pytest
 
 from experiments.poisson_cube import build_solver
 from multigrid_tpu.mesh.brick import poisson_cube_mesh
+
+# size -> (reduction, fmg_L2error, cg_its, cg_reduction, cg_L2error)
+REFERENCE_ROWS = {
+    2: (1.092e-1, 1.737e-1, 8, 5.677e-2, 1.725e-1),
+    4: (1.613e-1, 1.166e-2, 8, 6.789e-2, 1.027e-2),
+    8: (1.319e-1, 4.037e-4, 8, 6.689e-2, 3.822e-4),
+}
 
 
 @pytest.fixture(scope="module")
@@ -24,24 +37,41 @@ def solver8():
 def test_fmg_discretization_accuracy(solver8):
     sol = solver8.solve()
     err = solver8.l2_error(solver8.maxlevel, sol)
-    # reference fmg_L2error = 4.037e-4 at 35937 dofs (README.md:143)
-    assert err < 5.0e-4
-    assert err > 2.0e-4
+    assert err == pytest.approx(REFERENCE_ROWS[8][1], rel=0.02)
 
 
 def test_vcycle_reduction(solver8):
     _, report, reduction = solver8.solve_analyze()
-    # reference reduction = 0.1319 (README.md:143); allow implementation slack
-    assert reduction < 0.2
+    assert reduction == pytest.approx(REFERENCE_ROWS[8][0], rel=0.02)
 
 
 def test_cg_iterations(solver8):
     sol, its, red = solver8.solve_cg()
     err = solver8.l2_error(solver8.maxlevel, sol)
-    # reference: cg_its=8, cg_reduction=6.689e-2, cg_L2error=3.822e-4
-    assert its <= 9
-    assert red < 0.09
-    assert err < 6.0e-4
+    assert its == REFERENCE_ROWS[8][2]
+    assert red == pytest.approx(REFERENCE_ROWS[8][3], rel=0.02)
+    assert err == pytest.approx(REFERENCE_ROWS[8][4], rel=0.1)
+
+
+@pytest.mark.parametrize("size", [2, 4])
+def test_transcript_rows(size):
+    ref_red, ref_fmg, ref_its, ref_cgred, ref_cgerr = REFERENCE_ROWS[size]
+    s = build_solver(poisson_cube_mesh(size), degree=4, n_cycles=2)
+    sol, _, red = s.solve_analyze()
+    assert red == pytest.approx(ref_red, rel=0.02)
+    assert s.l2_error(s.maxlevel, sol) == pytest.approx(ref_fmg, rel=0.02)
+    solc, its, cgred = s.solve_cg()
+    assert its == ref_its
+    assert cgred == pytest.approx(ref_cgred, rel=0.02)
+
+
+def test_single_level_coarse_solver():
+    """size 3 is a one-level mesh: the CG preconditioner is the
+    Chebyshev-as-coarse-solver; reference row: 3 its, red 3.157e-4."""
+    s = build_solver(poisson_cube_mesh(3), degree=4, n_cycles=2)
+    sol, its, red = s.solve_cg()
+    assert its == 3
+    assert red == pytest.approx(3.157e-4, rel=0.05)
 
 
 def test_mms_convergence_rates():
