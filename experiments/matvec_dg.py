@@ -41,18 +41,45 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64"):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(grid.shape), dtype)
     y = vmult(x)
     y.block_until_ready()
+
+    # cross-verification against the independent face-based operator
+    # (/root/reference/matvec_dg/program.cc:206-207: output -= reference)
+    from multigrid_tpu.ops.dg_face import DGLaplaceFaceBased
+
+    y_ref = jax.jit(DGLaplaceFaceBased(grid, dtype).vmult)(x)
+    verify = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
+
     n_rep = max(5, min(100, 20_000_000 // grid.n_dofs))
     best = np.inf
     for _ in range(5):
         t0 = time.perf_counter()
-        z = x
         for _ in range(n_rep):
-            z = vmult(z)
+            z = vmult(x)
         z.block_until_ready()
         best = min(best, (time.perf_counter() - t0) / n_rep)
     dofs_per_s = grid.n_dofs / best
+
+    # throughput models in the reference's reporting style
+    # (/root/reference/matvec_dg/program.cc:176-205), with the op count
+    # matching THIS pipeline (batched dense contractions, no even-odd):
+    # gradients + integrate: 2*dim sweeps of 2*N*n; basis change S/St for
+    # non-collocation bases: 2*dim sweeps; volume quad op: (2*dim^2+dim)*N;
+    # per face: value+grad traces, flux, and lifts, O(dim^2 * n^(dim-1)).
+    n = degree + 1
+    N = n**dim
+    n_cells = int(np.prod(base))
+    sweeps = 2 * dim + (0 if kind == "gauss" else 2 * dim)
+    ops_cell = sweeps * 2 * N * n + (2 * dim * dim + dim) * N
+    ops_face = 2 * dim * ((dim + 1) * 2 * n ** (dim - 1) * n
+                          + 10 * n ** (dim - 1))
+    ops = n_cells * (ops_cell + ops_face)
+    nbytes = np.dtype(dtype_name).itemsize
+    gbs = 1e-9 * grid.n_dofs * nbytes * 3 / best
+    gflops = 1e-9 * ops / best
     print(f"{kind:8s} p={degree} n_dof={grid.n_dofs:>10d}  {best:.5f} s  "
-          f"DoFs/s {dofs_per_s:.4g}")
+          f"DoFs/s {dofs_per_s:.4g}  GFlop/s {gflops:.4g}  GB/s {gbs:.4g}  "
+          f"ops/dof {ops / grid.n_dofs:.1f}  verify {verify:.2e}")
+    assert verify < 1e-6 if dtype_name == "float32" else verify < 1e-11, verify
     return dofs_per_s
 
 

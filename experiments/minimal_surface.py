@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 
 def g_fn(coords):
     return np.sin(2 * np.pi * (coords[0] + coords[1]))

@@ -14,6 +14,10 @@ import time
 
 import numpy as np
 
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 from multigrid_tpu.mesh.brick import BrickMesh, doubling_mesh, poisson_cube_mesh
 from multigrid_tpu.solvers.multigrid import MultigridSolver
 

@@ -9,6 +9,10 @@ import time
 
 import numpy as np
 
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 from experiments.poisson_cube import SIZES, exact_fn, rhs_fn
 from multigrid_tpu.mesh.brick import poisson_cube_mesh
 from multigrid_tpu.solvers.multigrid_dg import MultigridSolverDGPlain

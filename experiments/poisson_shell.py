@@ -14,6 +14,10 @@ import time
 
 import numpy as np
 
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
 from multigrid_tpu.mesh.shapes import hyper_shell, hyper_shell_12
 from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
 

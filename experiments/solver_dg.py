@@ -34,44 +34,61 @@ def run(degree: int, kind: str, n_cell_steps: int, n_iterations: int = 50):
     grid = DGGrid(cells=tuple(base),
                   jacobian=tuple(tuple(r) for r in np.diag(h)),
                   degree=degree, kind=kind)
+    from multigrid_tpu.ops.dg_face import DGLaplaceFaceBased
+
     op = DGLaplace(grid, jnp.float64)
+    op_face = DGLaplaceFaceBased(grid, jnp.float64)
     jac = JacobiTransformed(op, jnp.float64)
 
     b = jnp.asarray(np.random.default_rng(0).standard_normal(grid.shape))
 
-    @jax.jit
-    def cg_fixed(b):
-        x = jnp.zeros_like(b)
-        r = b
-        z = jac.vmult(r)
-        p = z
-        rz = jnp.vdot(r, z)
-
-        def body(_, s):
-            x, r, p, rz = s
-            q = op.apply(p)
-            alpha = rz / jnp.vdot(p, q)
-            x = x + alpha * p
-            r = r - alpha * q
+    def make_cg(apply):
+        @jax.jit
+        def cg_fixed(b):
+            x = jnp.zeros_like(b)
+            r = b
             z = jac.vmult(r)
-            rz2 = jnp.vdot(r, z)
-            p = z + (rz2 / rz) * p
-            return (x, r, p, rz2)
+            p = z
+            rz = jnp.vdot(r, z)
 
-        x, r, *_ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rz))
-        return x, jnp.linalg.norm(r)
+            def body(_, s):
+                x, r, p, rz = s
+                q = apply(p)
+                alpha = rz / jnp.vdot(p, q)
+                x = x + alpha * p
+                r = r - alpha * q
+                z = jac.vmult(r)
+                rz2 = jnp.vdot(r, z)
+                p = z + (rz2 / rz) * p
+                return (x, r, p, rz2)
 
-    x, rn = cg_fixed(b)
-    jax.block_until_ready(x)
-    best = np.inf
-    for _rep in range(3):
-        t0 = time.perf_counter()
+            x, r, *_ = jax.lax.fori_loop(0, n_iterations, body, (x, r, p, rz))
+            return x, jnp.linalg.norm(r)
+
+        return cg_fixed
+
+    results = {}
+    for name, apply in (("cell-based", op.apply), ("face-based", op_face.vmult)):
+        cg_fixed = make_cg(apply)
         x, rn = cg_fixed(b)
         jax.block_until_ready(x)
-        best = min(best, time.perf_counter() - t0)
-    per_it = best / n_iterations
-    print(f"{kind:8s} p={degree} n_dof={grid.n_dofs:>10d}  {per_it:.5f} s/it "
-          f" DoFs/s/it {grid.n_dofs/per_it:.4g}  |r|={float(rn):.3e}")
+        best = np.inf
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            x, rn = cg_fixed(b)
+            jax.block_until_ready(x)
+            best = min(best, time.perf_counter() - t0)
+        per_it = best / n_iterations
+        results[name] = x
+        print(f"{name:10s} {kind:8s} p={degree} n_dof={grid.n_dofs:>10d}  "
+              f"{per_it:.5f} s/it  DoFs/s/it {grid.n_dofs/per_it:.4g}  "
+              f"|r|={float(rn):.3e}")
+    # cross-verify the two CG solutions
+    # (/root/reference/solver_dg/program.cc:240-241, 262-263)
+    diff = float(jnp.max(jnp.abs(results["cell-based"] - results["face-based"])))
+    ref = float(jnp.max(jnp.abs(results["face-based"])))
+    print(f"          verification of cell vs face solution: {diff/ref:.2e}")
+    assert diff < 1e-9 * ref, (diff, ref)
 
 
 def main():
