@@ -21,6 +21,7 @@ import numpy as np
 from ..mesh.brick import DofGrid
 from .dg import DGGrid, DGLaplace
 from .windows import gather_cells, scatter_cells
+from .masks import bcast_and, interior_axes_jnp
 
 
 def _apply_node(u, M, dim, d):
@@ -76,10 +77,14 @@ class CGDGCoupling:
         self.dim = cg_grid.dim
         self.n = cg_grid.degree + 1
         self.E = jnp.asarray(dg_grid.basis.nodal_from_gll, dtype)
-        self.interior = jnp.asarray(~cg_grid.boundary_mask())
+        self._interior_axes = interior_axes_jnp(cg_grid)
         dim = self.dim
         self._to_block = tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
         self._from_block = tuple(np.argsort(self._to_block))
+
+    @property
+    def interior(self):
+        return bcast_and(self._interior_axes)
 
     def cg_to_dg(self, u_cg: jnp.ndarray) -> jnp.ndarray:
         """Embed (read node values incl. boundary, as the reference's

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.brick import DofGrid
+from .masks import bcast_and, interior_axes_jnp
 from .windows import gather_cells, scatter_cells
 
 _SYM2 = ((0, 0), (1, 1), (0, 1))
@@ -104,7 +105,7 @@ class LaplaceOperator:
         self.D = jnp.asarray(b.D_col, dtype)
         self.Dt = jnp.asarray(b.D_col.T, dtype)
         self.coef = coef if coef is not None else make_diag_coef(grid)
-        self.interior = jnp.asarray(~grid.boundary_mask())
+        self._interior_axes = interior_axes_jnp(grid)
         # quadrature-weight product, broadcastable to the interleaved layout
         qw = b.quad_weights
         w3 = np.ones([1] * (2 * self.dim))
@@ -113,6 +114,29 @@ class LaplaceOperator:
             shape[2 * d + 1] = self.n
             w3 = w3 * qw.reshape(shape)
         self.w3d = jnp.asarray(w3, dtype)
+        # per-axis 1-D scattered diagonal factors for the separable
+        # inverse_diagonal (see there)
+        if isinstance(self.coef, DiagCoef):
+            mdiag, ldiag = np.diag(b.M), np.diag(b.L)
+            p = grid.degree
+            self._diag_lines = []
+            for d in range(self.dim):
+                row = []
+                for e in range(self.dim):
+                    vec = ldiag if e == d else mdiag
+                    nc = grid.cells[e]
+                    line = np.zeros(nc * p + 1)
+                    for c in range(nc):
+                        line[c * p : c * p + p + 1] += vec
+                    row.append(jnp.asarray(line, dtype))
+                self._diag_lines.append(row)
+
+    @property
+    def interior(self) -> jnp.ndarray:
+        """Interior mask rebuilt from per-axis vectors at trace time (a
+        materialized full-grid constant would be embedded as an O(N)
+        literal in every jitted closure)."""
+        return bcast_and(self._interior_axes)
 
     # ---------------------------------------------------------------- eval
     def _to_quad(self, w: jnp.ndarray) -> jnp.ndarray:
@@ -202,30 +226,21 @@ class LaplaceOperator:
         (/root/reference/common/laplace_operator.h:745-800)."""
         b = self.grid.basis
         if isinstance(self.coef, DiagCoef):
-            # separable: diag_loc = sum_d c_d * prod_e (L_ii if e==d else M_ii)
-            mdiag = np.diag(b.M)
-            ldiag = np.diag(b.L)
+            # fully separable: node diagonal = sum_d c_d prod_e f_{d,e}[i_e]
+            # where f_{d,e} is the 1-D window-scatter of (L_ii if e==d else
+            # M_ii) along axis e.  Built in-graph from 1-D constants so
+            # jitted closures embed only O(shape_d) literals.
             dim = self.dim
-            loc = np.zeros((self.n,) * dim)
+            diag = None
             for d in range(dim):
-                term = np.array(self.coef.values[d])
+                term = None
                 for e in range(dim):
-                    vec = ldiag if e == d else mdiag
                     shape = [1] * dim
-                    shape[e] = self.n
-                    term = term * vec.reshape(shape)
-                loc = loc + term
-            cells = self.grid.cells
-            # broadcast per-cell local diagonal to interleaved layout
-            shape = []
-            for d in range(dim):
-                shape += [1, self.n]
-            loc_i = jnp.asarray(loc.reshape([self.n if i % 2 else 1 for i in range(2 * dim)]), self.dtype)
-            tiled = jnp.broadcast_to(
-                loc_i,
-                tuple(x for c in cells for x in (c, self.n)),
-            )
-            diag = scatter_cells(tiled, self.n)
+                    shape[e] = self._diag_lines[d][e].shape[0]
+                    f = self._diag_lines[d][e].reshape(shape)
+                    term = f if term is None else term * f
+                term = term * self.coef.values[d]
+                diag = term if diag is None else diag + term
         else:
             # contraction of the full coefficient with per-axis factor tables
             dim = self.dim
@@ -254,6 +269,15 @@ class LaplaceOperator:
         (/root/reference/common/multigrid_solver.h:298-343)."""
         jxw = self.w3d * self.grid.jxw_scalar
         uq = self.interpolate_to_quad(u)
+        if uq.dtype == jnp.float64:
+            # big f64 reductions are ~100x emulated on TPU (ops/df64)
+            from .df64 import sum_f64
+
+            err = sum_f64((uq - exact_quad) ** 2 * jxw)
+            vol = float(np.prod(uq.shape)) / self.w3d.size * float(
+                np.asarray(self.w3d, np.float64).sum()
+            ) * self.grid.jxw_scalar
+            return jnp.sqrt(err / vol)
         err = jnp.sum((uq - exact_quad) ** 2 * jxw)
         vol = jnp.sum(jnp.broadcast_to(jxw, uq.shape))
         return jnp.sqrt(err / vol)

@@ -32,6 +32,7 @@ import numpy as np
 from ..mesh.brick import DofGrid
 from .df64 import df64_add, join_f64, split_f64, two_sum
 from .laplace import DiagCoef, make_diag_coef
+from .masks import bcast_and, interior_axes_jnp
 from .windows import gather_cells, scatter_cells
 from .laplace_df64 import scatter_cells_df64
 
@@ -59,11 +60,17 @@ class _DenseBase:
         self.N = self.n**self.dim
         self.cells = grid.cells
         self.K = element_matrix(grid, coef)
-        self.interior = jnp.asarray(~grid.boundary_mask())
+        self._interior_axes = interior_axes_jnp(grid)
         dim = self.dim
         # interleaved [C0,n,C1,n,...] <-> flat [C, N] permutations
         self._to_flat = tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
         self._from_flat = tuple(np.argsort(self._to_flat))
+
+    @property
+    def interior(self):
+        """Interior mask rebuilt from 1-D factors at trace time (a full
+        materialized mask would bloat every jit payload by O(N))."""
+        return bcast_and(self._interior_axes)
 
     def _gather_flat(self, x):
         w = gather_cells(x, self.n)

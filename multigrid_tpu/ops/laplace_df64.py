@@ -25,6 +25,7 @@ from .df64 import (
 )
 from .laplace import DiagCoef, make_diag_coef
 from .windows import gather_cells, scatter_cells
+from .masks import bcast_and, interior_axes_jnp
 
 
 class SplitConst:
@@ -108,7 +109,11 @@ class LaplaceOperatorDF64:
             shape[2 * d + 1] = self.n
             w3 = w3 * qw.reshape(shape)
         self.cw = [SplitConst(coef.values[d] * w3) for d in range(self.dim)]
-        self.interior = jnp.asarray(~grid.boundary_mask())
+        self._interior_axes = interior_axes_jnp(grid)
+
+    @property
+    def interior(self):
+        return bcast_and(self._interior_axes)
 
     def _sweep_all(self, h, l, M: SplitMatrix):
         for d in range(self.dim):

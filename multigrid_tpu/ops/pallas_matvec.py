@@ -35,6 +35,7 @@ from ..mesh.brick import DofGrid
 from .df64 import df64_add, join_f64, split_f64, two_sum
 from .laplace import DiagCoef
 from .laplace_dense import _LIMB_BITS, _MAX_M, _N_LIMBS, _split_limbs_f64, element_matrix
+from .masks import bcast_and, interior_axes_jnp
 
 
 def _limb_split_block(rh, rl, n_limbs):
@@ -71,7 +72,11 @@ class PallasOzakiLaplace:
                 if 0 <= k < _N_LIMBS:
                     Kbig[l * N : (l + 1) * N, m * N : (m + 1) * N] = limbs[k]
         self.KbigT = jnp.asarray(Kbig.T, jnp.bfloat16)   # [6N_out, 6N_in]
-        self.interior = jnp.asarray(~grid.boundary_mask())
+        self._interior_axes = interior_axes_jnp(grid)
+
+    @property
+    def interior(self):
+        return bcast_and(self._interior_axes)
 
     # ------------------------------------------------------ XLA pre/post
     def _xwindow(self, a):

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..mesh.brick import DofGrid
 from .laplace import apply_1d
+from .masks import bcast_and, bcast_prod, interior_axes_jnp
 from .windows import gather_cells, scatter_cells
 
 
@@ -36,26 +37,44 @@ class Transfer:
         self.nf = 2 * p + 1
         self.P = jnp.asarray(b.P, dtype)
         self.Pt = jnp.asarray(b.P.T, dtype)
+        self._df64 = dtype == jnp.float64
+        if self._df64:
+            from .df64 import SplitMatrix
+
+            self._Pd = SplitMatrix(b.P)
+            self._Ptd = SplitMatrix(b.P.T)
         # touch-count weights on the fine grid: fine nodes on interior
         # *coarse*-cell boundaries are produced by two coarse windows
-        dim = fine.dim
-        w = np.ones([1] * dim)
-        for d in range(dim):
+        # separable factors only: full-grid weight/mask constants would be
+        # embedded as O(N) literals in every jitted V-cycle
+        self._weight_axes = []
+        for d in range(fine.dim):
             ncc = coarse.cells[d]
             line = np.ones(ncc * 2 * p + 1)
             if ncc > 1:
                 line[2 * p : -1 : 2 * p] = 0.5
-            shape = [1] * dim
-            shape[d] = line.size
-            w = w * line.reshape(shape)
-        self.weights = jnp.asarray(w, dtype)
-        self.fine_interior = jnp.asarray(~fine.boundary_mask())
-        self.coarse_interior = jnp.asarray(~coarse.boundary_mask())
+            self._weight_axes.append(jnp.asarray(line, dtype))
+        self._fine_axes = interior_axes_jnp(fine)
+        self._coarse_axes = interior_axes_jnp(coarse)
+
+    @property
+    def weights(self):
+        return bcast_prod(self._weight_axes)
+
+    @property
+    def fine_interior(self):
+        return bcast_and(self._fine_axes)
+
+    @property
+    def coarse_interior(self):
+        return bcast_and(self._coarse_axes)
 
     def prolongate(self, u_coarse: jnp.ndarray) -> jnp.ndarray:
         u = u_coarse
         if self.constrained:
             u = jnp.where(self.coarse_interior, u, 0)
+        if self._df64:
+            return self._prolongate_df64(u)
         w = gather_cells(u, self.n)
         for d in range(self.fine.dim):
             w = apply_1d(w, self.P, 2 * d + 1)
@@ -71,10 +90,49 @@ class Transfer:
         u = u_fine
         if self.constrained:
             u = jnp.where(self.fine_interior, u, 0)
+        if self._df64:
+            return self._restrict_df64(u)
         w = gather_cells(u * self.weights, self.nf)
         for d in range(self.fine.dim):
             w = apply_1d(w, self.Pt, 2 * d + 1)
         uc = scatter_cells(w, self.n)
+        if self.constrained:
+            uc = jnp.where(self.coarse_interior, uc, 0)
+        return uc
+
+    # --------------------------------------------------------- df64 flavor
+    # fp64 transfers on TPU must avoid the native-f64 einsum (XLA emulation
+    # is ~100x slower: 540 ms vs 8 ms at 17M dofs); the P sweeps run as
+    # compensated f32-pair contractions instead.  The touch-count weights
+    # are powers of two, so the final scaling is exact per component.
+    def _prolongate_df64(self, u):
+        from .df64 import apply_1d_df64, join_f64, split_f64
+        from .laplace_df64 import scatter_cells_df64
+
+        uh, ul = split_f64(u)
+        wh = gather_cells(uh, self.n)
+        wl = gather_cells(ul, self.n)
+        for d in range(self.fine.dim):
+            wh, wl = apply_1d_df64(wh, wl, self._Pd, 2 * d + 1)
+        yh, yl = scatter_cells_df64(wh, wl)
+        wgt = self.weights.astype(jnp.float32)   # powers of two: exact
+        uf = join_f64(yh * wgt, yl * wgt)
+        if self.constrained:
+            uf = jnp.where(self.fine_interior, uf, 0)
+        return uf
+
+    def _restrict_df64(self, u):
+        from .df64 import apply_1d_df64, join_f64, split_f64
+        from .laplace_df64 import scatter_cells_df64
+
+        uh, ul = split_f64(u)
+        wgt = self.weights.astype(jnp.float32)
+        wh = gather_cells(uh * wgt, self.nf)
+        wl = gather_cells(ul * wgt, self.nf)
+        for d in range(self.fine.dim):
+            wh, wl = apply_1d_df64(wh, wl, self._Ptd, 2 * d + 1)
+        yh, yl = scatter_cells_df64(wh, wl)
+        uc = join_f64(yh, yl)
         if self.constrained:
             uc = jnp.where(self.coarse_interior, uc, 0)
         return uc

@@ -11,6 +11,21 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.df64 import dot_f64, norm_f64
+
+
+def _dot(a, b):
+    """f64 dots avoid XLA:TPU's ~100x-slow f64 reductions (ops/df64)."""
+    if a.dtype == jnp.float64:
+        return dot_f64(a, b)
+    return jnp.vdot(a, b)
+
+
+def _norm(a):
+    if a.dtype == jnp.float64:
+        return norm_f64(a)
+    return jnp.linalg.norm(a)
+
 
 class CGResult(NamedTuple):
     x: jnp.ndarray
@@ -27,11 +42,11 @@ def cg_solve(
     abs_tol: float = 1e-16,
     rtol: float = 1e-9,
 ) -> CGResult:
-    norm0 = jnp.linalg.norm(b)
+    norm0 = _norm(b)
     tol = jnp.maximum(abs_tol, rtol * norm0)
 
     z = precond(b)
-    state = (jnp.zeros_like(b), b, z, jnp.vdot(b, z), jnp.array(0), norm0)
+    state = (jnp.zeros_like(b), b, z, _dot(b, z), jnp.array(0), norm0)
 
     def cond(s):
         _, _, _, _, it, res = s
@@ -40,12 +55,12 @@ def cg_solve(
     def body(s):
         x, r, p, rz, it, _ = s
         q = A(p)
-        alpha = rz / jnp.vdot(p, q)
+        alpha = rz / _dot(p, q)
         x = x + alpha * p
         r = r - alpha * q
-        res = jnp.linalg.norm(r)
+        res = _norm(r)
         z = precond(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = _dot(r, z)
         p = z + (rz_new / rz) * p
         return (x, r, p, rz_new, it + 1, res)
 

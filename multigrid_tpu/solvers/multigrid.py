@@ -28,6 +28,7 @@ from ..mesh.brick import BrickMesh, DofGrid
 from ..ops.laplace import LaplaceOperator, make_diag_coef
 from ..ops.transfer import Transfer
 from .cg import CGResult, cg_solve
+from ..ops.df64 import norm_f64
 from .chebyshev import FIRST_KIND, Chebyshev
 
 
@@ -129,8 +130,15 @@ class MultigridSolver:
             for l in range(1, L)
         ]
 
-        # boundary data + rhs per level (multigrid_solver.h:224-262)
-        self.bmask = [jnp.asarray(g.boundary_mask()) for g in self.grids]
+        # boundary data + rhs per level (multigrid_solver.h:224-262);
+        # masks kept as per-axis factors (LazyMaskList) so jitted solves
+        # embed only 1-D constants — a materialized 513^3 mask per level
+        # would overflow the remote-compile payload at the flagship size
+        from ..ops.masks import LazyMaskList, interior_axes_jnp
+
+        self.bmask = LazyMaskList(
+            [interior_axes_jnp(g) for g in self.grids], invert=True
+        )
         self.u_bc = []
         self.rhs = []
         self._exact_fn = exact_fn
@@ -148,10 +156,15 @@ class MultigridSolver:
             self.rhs.append(jax.jit(self.ops_dp[l].compute_rhs)(f_quad, ubc))
             del f_quad
 
-        # Chebyshev smoothers (multigrid_solver.h:268-291)
+        # Chebyshev smoothers (multigrid_solver.h:268-291).  The diagonal
+        # preconditioner is rebuilt in-graph from separable factors at each
+        # trace (op.inverse_diagonal is O(1-D constants)); capturing a
+        # materialized inv_diag array would embed an O(N) literal per level.
         self.smoothers = []
         for l in range(L):
-            inv_diag = jax.jit(self.ops[l].inverse_diagonal)()
+            _op = self.ops[l]
+            precond = lambda r, _o=_op: _o.inverse_diagonal() * r
+            example = jnp.zeros(self.grids[l].shape, v_dtype)
             if l > self.minlevel:
                 # deal.II semantics: smoother_data.degree = n_pre literally
                 # (/root/reference/common/multigrid_solver.h:275); the
@@ -161,20 +174,24 @@ class MultigridSolver:
                     deg = finest_degree
                 sm = Chebyshev.create(
                     self.sp_ops[l].vmult,
-                    inv_diag,
+                    None,
                     smoothing_range=20.0,
                     degree=deg,
                     eig_cg_n_iterations=15,
                     kind=chebyshev_kind,
+                    precond=precond,
+                    example=example,
                 )
             else:
                 sm = Chebyshev.create(
                     self.sp_ops[l].vmult,
-                    inv_diag,
+                    None,
                     smoothing_range=coarse_smoothing_range,
                     degree=None,
                     eig_cg_n_iterations=self.grids[l].n_dofs,
                     kind=FIRST_KIND,
+                    precond=precond,
+                    example=example,
                 )
             self.smoothers.append(sm)
 
@@ -234,19 +251,21 @@ class MultigridSolver:
         return upd
 
     # ----------------------------------------------------------------- FMG
-    def _fmg(self):
-        """Full multigrid: multigrid_solver.h:386-476."""
+    def _fmg(self, rhs, u_bc):
+        """Full multigrid: multigrid_solver.h:386-476.  ``rhs``/``u_bc`` are
+        jit arguments (per-level lists): baking them into the closure would
+        serialize GBs of literals into the compile payload."""
         sols = []
-        d0 = self.rhs[0].astype(self.v_dtype)
+        d0 = rhs[0].astype(self.v_dtype)
         t = self.smoothers[0].vmult(d0)
         t = self.smoothers[0].step(t, d0)
         sol = t.astype(self.f_dtype)
         sols.append(sol)
         for l in range(1, self.maxlevel + 1):
-            sol_bc = jnp.where(self.bmask[l - 1], self.u_bc[l - 1], sol)
+            sol_bc = jnp.where(self.bmask[l - 1], u_bc[l - 1], sol)
             sol = self.transfers_nobc[l].prolongate(sol_bc)
             sol = jnp.where(self.bmask[l], 0.0, sol)
-            res = self.dp_ops[l].vmult_residual(self.rhs[l], sol)
+            res = self.dp_ops[l].vmult_residual(rhs[l], sol)
             upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles)
             sol = sol + upd.astype(self.f_dtype)
             sols.append(sol)
@@ -256,8 +275,8 @@ class MultigridSolver:
         """FMG solve; returns the finest-level solution incl. boundary
         values (cf. get_solution, multigrid_solver.h:376-382)."""
         if self._fmg_jit is None:
-            self._fmg_jit = jax.jit(lambda: self._fmg()[-1])
-        sol = self._fmg_jit()
+            self._fmg_jit = jax.jit(lambda rhs, ubc: self._fmg(rhs, ubc)[-1])
+        sol = self._fmg_jit(self.rhs, self.u_bc)
         return jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
 
     def solve_analyze(self):
@@ -278,11 +297,11 @@ class MultigridSolver:
             err_start = self.l2_error(l, sol)
             sol = jnp.where(self.bmask[l], 0.0, sol)
             res = self._residual_jit(l)(self.rhs[l], sol)
-            res_start = float(jnp.linalg.norm(res))
+            res_start = float(norm_f64(res))
             upd = self._vcycle_jit(l, self.n_cycles)(res.astype(self.v_dtype))
             sol = sol + upd.astype(self.f_dtype)
             res_end = float(
-                jnp.linalg.norm(self._residual_jit(l)(self.rhs[l], sol))
+                norm_f64(self._residual_jit(l)(self.rhs[l], sol))
             )
             err_end = self.l2_error(l, sol)
             reduction = (res_end / res_start) ** (1.0 / self.n_cycles)
