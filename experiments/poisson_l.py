@@ -1,14 +1,20 @@
-"""poisson_l experiment: Poisson with a reentrant-corner singularity on the
-L-shaped domain.
+"""poisson_l experiment: adaptive-mesh Poisson with a reentrant-corner
+singularity on the L-shaped domain.
 
 Port of /root/reference/poisson_l/program.cc: 2-D hyper_L = [-1,1]^2 minus
-[0,1]^2 (3 blocks), deal.II ``LSingularityFunction`` solution
-u = r^{2/3} sin(2 phi / 3) (harmonic, f = 0, inhomogeneous Dirichlet data),
-L2 + H1-seminorm error tables, Kelly-type face-jump error indicator with
-fixed-fraction marking (program.cc:527-540).  Adaptive execution of the
-marks (hanging-node AMR with local smoothing) is scheduled for a later
-round; on uniform meshes the singularity limits the H1 rate to 2/3, which
-this experiment demonstrates.
+[0,1]^2, deal.II ``LSingularityFunction`` solution u = r^{2/3} sin(2 phi/3)
+(harmonic, f = 0, inhomogeneous Dirichlet data).  Executes the FULL
+adaptive loop (program.cc:502-543): solve -> KellyErrorEstimator ->
+refine_and_coarsen_fixed_number(0.15, 0.03) -> mesh execution with
+hanging-node constraints -> solution transfer to the new mesh, with a
+multigrid-preconditioned CG solve per cycle (global-coarsening hierarchy
+instead of the reference's local smoothing — see
+multigrid_tpu/solvers/multigrid_adaptive.py) and the reference's
+cells/dofs/val_L2/grad_L2/solver_its table (program.cc:572-601).
+
+``--uniform`` runs the same sizes with uniform refinement; the adaptive
+path reaches a given error with substantially fewer dofs (the singularity
+limits uniform rates to 2/3 in H1).
 """
 
 from __future__ import annotations
@@ -18,31 +24,18 @@ import time
 
 import numpy as np
 
-from multigrid_tpu.mesh.mapped import Block, MappedMesh
-from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
+import jax
 
+jax.config.update("jax_enable_x64", True)
 
-def l_domain(n_levels: int) -> MappedMesh:
-    """[-1,1]^2 minus the first quadrant [0,1]^2 (hyper_L)."""
-    def block(ox, oy):
-        def mapping(p):
-            return np.stack([ox + p[:, 0], oy + p[:, 1]], axis=1)
-        return Block(cells=(1, 1), mapping=mapping)
+import jax.numpy as jnp
 
-    blocks = [block(-1, -1), block(0, -1), block(-1, 0)]
-
-    def boundary_fn(x):
-        tol = 1e-9
-        on = np.zeros(x.shape[0], bool)
-        on |= (np.abs(x[:, 0] + 1) < tol) | (np.abs(x[:, 1] + 1) < tol)
-        on |= (np.abs(x[:, 0] - 1) < tol) & (x[:, 1] <= tol)
-        on |= (np.abs(x[:, 1] - 1) < tol) & (x[:, 0] <= tol)
-        # reentrant edges
-        on |= (np.abs(x[:, 0]) < tol) & (x[:, 1] >= -tol)
-        on |= (np.abs(x[:, 1]) < tol) & (x[:, 0] >= -tol)
-        return on
-
-    return MappedMesh(blocks=blocks, n_levels=n_levels, boundary_fn=boundary_fn)
+from multigrid_tpu.mesh.adaptive import AdaptiveGrid, QuadForest
+from multigrid_tpu.ops.laplace_adaptive import AdaptiveLaplace, KellyEstimator
+from multigrid_tpu.solvers.multigrid_adaptive import (
+    AdaptiveMultigridSolver,
+    NestedTransfer,
+)
 
 
 def exact_fn(coords):
@@ -62,8 +55,6 @@ def grad_exact(coords):
     r = np.sqrt(r2)
     u_r = 2.0 / 3.0 * r ** (-1.0 / 3.0) * np.sin(2.0 / 3.0 * phi)
     u_phi = r ** (2.0 / 3.0) * 2.0 / 3.0 * np.cos(2.0 / 3.0 * phi)
-    # phi = atan2(y,-x)+pi: dphi/dx = y/r2, dphi/dy = -(-x)/r2 = x/r2? check:
-    # d/dx atan2(y,-x) = (-y*(-1))/r2 = y/r2 ; d/dy atan2(y,-x) = -x/r2
     gx = u_r * x / r + u_phi * (y / r2)
     gy = u_r * y / r + u_phi * (-x / r2)
     mask = (x >= 0) & (y >= 0)
@@ -74,117 +65,118 @@ def rhs_fn(coords):
     return 0.0 * coords[0]
 
 
-def kelly_indicator(solver: GeneralMultigridSolver, u) -> np.ndarray:
-    """Kelly face-jump estimator eta_K^2 = sum_F h/24 int_F [du/dn]^2
-    (the role of deal.II KellyErrorEstimator, program.cc:527-533).
-    Computed over intra-block faces of the block-structured mesh."""
-    import jax.numpy as jnp
-
-    g = solver.grids[solver.maxlevel]
-    op = solver.ops_dp[solver.maxlevel]
-    b = g.basis
-    dim = g.dim
-    n = g.n
-    # physical gradients at quad points per cell
-    w = op.gather(jnp.asarray(u))
-    gref = op._eval_grads(w)
-    Jinv = np.linalg.inv(g.jacobians).reshape((g.n_cells,) + (n,) * dim + (dim, dim))
-    gphys = [
-        sum(Jinv[..., bb, a] * np.asarray(gref[bb]) for bb in range(dim))
-        for a in range(dim)
-    ]
-    # face-trace matrices from quad values
-    from multigrid_tpu.core.quadrature import lagrange_values
-
-    f0 = lagrange_values(b.quad_points, np.array([0.0]))[0]
-    f1 = lagrange_values(b.quad_points, np.array([1.0]))[0]
-    eta2 = np.zeros(g.n_cells)
-    off = 0
-    for bc in g.block_cells:
-        C = int(np.prod(bc))
-        sl = slice(off, off + C)
-        gb = [ga[sl].reshape(bc + (n,) * dim) for ga in gphys]
-        h = 1.0 / np.asarray(bc)  # param h; physical h from jacobian below
-        for d in range(dim):
-            # normal at faces of direction d (blocks here are axis-aligned)
-            # jump of dg/dn across interior faces
-            gn = gb[d]
-            tr1 = np.tensordot(gn, f1, axes=([dim + d], [0]))
-            tr0 = np.tensordot(gn, f0, axes=([dim + d], [0]))
-            # jump[c] between cell c (right face) and c+1 (left face)
-            jump = np.take(tr1, range(0, bc[d] - 1), axis=d) - np.take(
-                tr0, range(1, bc[d]), axis=d
-            )
-            # face integral with perpendicular weights
-            wq = b.quad_weights
-            w2 = jump**2
-            for e in range(dim - 1):
-                w2 = np.tensordot(w2, wq, axes=([dim], [0]))
-            hface = np.linalg.norm(g.jacobians[off].reshape((n,)*dim + (dim,dim))[(0,)*dim][:, d])
-            contrib = 0.5 * hface / 24.0 * w2 * hface ** (dim - 1)
-            idx_l = [slice(None)] * dim
-            idx_l[d] = slice(0, bc[d] - 1)
-            idx_r = [slice(None)] * dim
-            idx_r[d] = slice(1, bc[d])
-            e2 = np.zeros(bc)
-            e2[tuple(idx_l)] += contrib
-            e2[tuple(idx_r)] += contrib
-            eta2[sl] += e2.reshape(-1)
-        off += C
-    return eta2
+def boundary_fn(xy):
+    x, y = xy[:, 0], xy[:, 1]
+    tol = 1e-9
+    on = (np.abs(x + 1) < tol) | (np.abs(y + 1) < tol)
+    on |= (np.abs(x - 1) < tol) & (y <= tol)
+    on |= (np.abs(y - 1) < tol) & (x <= tol)
+    on |= (np.abs(x) < tol) & (y >= -tol)
+    on |= (np.abs(y) < tol) & (x >= -tol)
+    return on
 
 
-def h1_error(solver, u):
-    import jax.numpy as jnp
+def l_forest(n_uniform: int) -> QuadForest:
+    f = QuadForest(2, -1.0, 2.0,
+                   root_mask=lambda ix, iy: not (ix == 1 and iy == 1))
+    for _ in range(n_uniform):
+        f = f.uniform_refine()
+    return f
 
-    g = solver.grids[solver.maxlevel]
-    op = solver.ops_dp[solver.maxlevel]
-    dim, n = g.dim, g.n
-    w = op.gather(jnp.asarray(u))
-    gref = op._eval_grads(w)
-    Jinv = np.linalg.inv(g.jacobians).reshape((g.n_cells,) + (n,) * dim + (dim, dim))
-    gphys = [
-        sum(Jinv[..., bb, a] * np.asarray(gref[bb]) for bb in range(dim))
-        for a in range(dim)
-    ]
-    qc = [g.quad_coords[..., d].reshape((g.n_cells,) + (n,) * dim) for d in range(dim)]
-    gex = grad_exact(qc)
-    jxw = g.jxw.reshape((g.n_cells,) + (n,) * dim)
-    err2 = sum(((gp - ge) ** 2 * jxw).sum() for gp, ge in zip(gphys, gex))
-    return float(np.sqrt(err2))
+
+def mg_ladder(forest: QuadForest, degree: int, min_cells: int = 4):
+    """Global-coarsening mesh ladder, coarsest first."""
+    forests = [forest]
+    while forests[0].n_cells > min_cells:
+        c = forests[0].coarsen_global()
+        if c.n_cells == forests[0].n_cells:
+            break
+        forests.insert(0, c)
+    return [AdaptiveGrid(f, degree, boundary_fn) for f in forests]
+
+
+def refine_and_coarsen_fixed_number(forest, eta2, top, bottom):
+    """deal.II GridRefinement::refine_and_coarsen_fixed_number."""
+    cells = AdaptiveGrid.__new__(AdaptiveGrid)  # only need cell order
+    order = forest.sorted_cells()
+    idx = np.argsort(eta2)[::-1]
+    n_ref = int(top * len(order))
+    n_coa = int(bottom * len(order))
+    marks_r = [order[i] for i in idx[:n_ref]]
+    marks_c = [order[i] for i in idx[len(order) - n_coa:]] if n_coa else []
+    return forest.refine(marks_r, marks_c)
+
+
+def run_cycle(forest, degree, rtol=1e-9):
+    grids = mg_ladder(forest, degree)
+    t0 = time.perf_counter()
+    s = AdaptiveMultigridSolver(grids, exact_fn, rhs_fn)
+    setup_t = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol, its, red = s.solve_cg(rtol=rtol)
+    solve_t = time.perf_counter() - t0
+    g = grids[-1]
+    op = s.op_dp
+    # deal.II-style absolute norms (integrate_difference, program.cc:557-578)
+    qxy = op.quad_points()
+    uq = op._to_quad(op.gather(sol)).reshape(-1, op.N)
+    ex = np.asarray(exact_fn([qxy[..., 0], qxy[..., 1]]))
+    jxw = np.asarray(op.w2d) * (np.asarray(g.cell_h)[:, None] ** 2)
+    val_l2 = float(np.sqrt((((np.asarray(uq) - ex) ** 2) * jxw).sum()))
+    gex = grad_exact([qxy[..., 0].reshape(-1, op.n, op.n),
+                      qxy[..., 1].reshape(-1, op.n, op.n)])
+    grad_l2 = float(s.op_dp.h1_seminorm_error(sol, gex))
+    eta2 = KellyEstimator(op)(sol)
+    return dict(cells=g.n_cells, dofs=g.n_dofs, constraints=g.n_constraints,
+                val_L2=val_l2, grad_L2=grad_l2, solver_its=its,
+                reduction=red, estimator=float(np.sqrt(eta2.sum())),
+                setup_time=setup_t, solve_time=solve_t), sol, eta2, s
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("max_levels", type=int, nargs="?", default=5)
+    ap.add_argument("cycles", type=int, nargs="?", default=8)
     ap.add_argument("--degree", type=int, default=2)
-    ap.add_argument("--top-fraction", type=float, default=0.3)
+    ap.add_argument("--initial", type=int, default=3,
+                    help="uniform refinements of the 3-cell base (ref: 5)")
+    ap.add_argument("--top-fraction", type=float, default=0.15)
+    ap.add_argument("--bottom-fraction", type=float, default=0.03)
+    ap.add_argument("--max-dofs", type=int, default=2_000_000)
+    ap.add_argument("--uniform", action="store_true",
+                    help="uniform refinement instead of adaptive")
     args = ap.parse_args()
+
+    forest = l_forest(args.initial)
     rows = []
-    for L in range(2, args.max_levels + 1):
-        mesh = l_domain(L)
-        s = GeneralMultigridSolver(mesh, args.degree, exact_fn, rhs_fn, n_cycles=1)
-        t0 = time.perf_counter()
-        sol, its, red = s.solve_cg()
-        dt = time.perf_counter() - t0
-        l2 = s.l2_error(s.maxlevel, sol)
-        h1 = h1_error(s, sol)
-        eta2 = kelly_indicator(s, sol)
-        order = np.argsort(eta2)[::-1]
-        n_marked = int(args.top_fraction * eta2.size)
-        row = dict(cells=s.grids[s.maxlevel].n_cells,
-                   dofs=s.grids[s.maxlevel].n_dofs, cg_its=its,
-                   cg_reduction=red, cg_L2error=l2, h1_error=h1,
-                   estimator=float(np.sqrt(eta2.sum())),
-                   marked=n_marked, cg_time=dt)
-        print(row)
+    prev = None  # (solver, solution) for the transfer demonstration
+    for cycle in range(args.cycles):
+        row, sol, eta2, s = run_cycle(forest, args.degree)
+        if prev is not None:
+            # solution transfer across the refinement (SolutionTransfer,
+            # program.cc:536-542): interpolate the previous solution to the
+            # new mesh and report how close it lands to the new solution
+            tr = NestedTransfer(s.grids[-1], prev[0].grids[-1], jnp.float64)
+            u0 = jnp.sum(prev[1][tr.idx] * tr.w, axis=-1)
+            rel = float(jnp.linalg.norm(u0 - sol) / jnp.linalg.norm(sol))
+            row["transfer_rel_diff"] = rel
+        print({k: (float(v) if isinstance(v, (float, np.floating)) else v)
+               for k, v in row.items()})
         rows.append(row)
-    # singular solution: expected uniform-refinement L2 rate ~ 2*2/3
-    if len(rows) > 1:
-        import math
-        r = [math.log2(rows[i - 1]["cg_L2error"] / rows[i]["cg_L2error"])
-             for i in range(1, len(rows))]
-        print("L2 rates per refinement:", [f"{x:.2f}" for x in r])
+        prev = (s, sol)
+        if row["dofs"] > args.max_dofs:
+            break
+        if args.uniform:
+            forest = forest.uniform_refine()
+        else:
+            forest = refine_and_coarsen_fixed_number(
+                forest, eta2, args.top_fraction, args.bottom_fraction)
+
+    hdr = ["cells", "dofs", "val_L2", "grad_L2", "solver_its"]
+    print("\n" + "  ".join(f"{h:>10s}" for h in hdr))
+    for r in rows:
+        print("  ".join(
+            f"{r[h]:10.4g}" if isinstance(r[h], float) else f"{r[h]:10d}"
+            for h in hdr))
 
 
 if __name__ == "__main__":
