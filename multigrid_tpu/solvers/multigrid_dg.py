@@ -122,6 +122,10 @@ class MultigridSolverDG(_DGOuterCG):
             from ..ops.dg_df64 import DGLaplaceDF64
 
             self.op_dp = DGLaplaceDF64(self.dg_grid)
+        elif dp_impl in ("ozaki", "ozaki_chunked"):
+            from ..ops.dg_ozaki import DGLaplaceOzaki
+
+            self.op_dp = DGLaplaceOzaki(self.dg_grid)
         else:
             self.op_dp = self.op_ref
         self.jacobi = JacobiTransformed(self.op)
