@@ -61,4 +61,7 @@ def test_poisson_dg_solver_df64():
     s2 = MultigridSolverDG(mesh, 3, exact_fn, rhs_fn, kind="hermite")
     sol2, _, _ = s2.solve_cg(tolerance=1e-10)
     import numpy as _np
-    assert _np.allclose(_np.asarray(sol), _np.asarray(sol2), atol=1e-9)
+
+    # default dp is now the Ozaki operator (~2e-12 operator accuracy); two
+    # independently-converged rtol-1e-10 solutions agree to ~solver level
+    assert _np.allclose(_np.asarray(sol), _np.asarray(sol2), atol=1e-7)
