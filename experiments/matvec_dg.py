@@ -12,7 +12,8 @@ import time
 import numpy as np
 
 
-def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64"):
+def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64",
+        impl: str = "fused"):
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -36,7 +37,15 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64"):
     grid = DGGrid(cells=tuple(base), jacobian=tuple(tuple(r) for r in J),
                   degree=degree, kind=kind)
     dtype = getattr(jnp, dtype_name)
-    op = DGLaplace(grid, dtype)
+    if impl == "ozaki":
+        # bf16-MXU dp path (ops/dg_ozaki.py); dp accuracy, MXU throughput
+        from multigrid_tpu.ops.dg_ozaki import DGLaplaceOzaki
+
+        op = DGLaplaceOzaki(grid)
+        dtype_name = "float64"
+        dtype = jnp.float64
+    else:
+        op = DGLaplace(grid, dtype)
     vmult = jax.jit(op.vmult)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(grid.shape), dtype)
     y = vmult(x)
@@ -76,10 +85,12 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64"):
     nbytes = np.dtype(dtype_name).itemsize
     gbs = 1e-9 * grid.n_dofs * nbytes * 3 / best
     gflops = 1e-9 * ops / best
-    print(f"{kind:8s} p={degree} n_dof={grid.n_dofs:>10d}  {best:.5f} s  "
+    label = kind if impl == "fused" else f"{kind}:ozk"
+    print(f"{label:8s} p={degree} n_dof={grid.n_dofs:>10d}  {best:.5f} s  "
           f"DoFs/s {dofs_per_s:.4g}  GFlop/s {gflops:.4g}  GB/s {gbs:.4g}  "
           f"ops/dof {ops / grid.n_dofs:.1f}  verify {verify:.2e}")
-    assert verify < 1e-6 if dtype_name == "float32" else verify < 1e-11, verify
+    tol = 1e-6 if dtype_name == "float32" else (1e-10 if impl == "ozaki" else 1e-11)
+    assert verify < tol, verify
     return dofs_per_s
 
 
@@ -90,10 +101,14 @@ def main():
     ap.add_argument("--steps", type=int, default=12,
                     help="refinement steps (cells = 2^(steps/3))")
     ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--impl", default="fused", choices=["fused", "ozaki", "both"])
     args = ap.parse_args()
     for degree in range(args.min_degree, args.max_degree + 1):
         for kind in ("hermite", "gll", "gauss"):
-            run(degree, kind, args.steps, args.dtype)
+            if args.impl in ("fused", "both"):
+                run(degree, kind, args.steps, args.dtype)
+            if args.impl in ("ozaki", "both") and args.dtype == "float64":
+                run(degree, kind, args.steps, args.dtype, impl="ozaki")
 
 
 if __name__ == "__main__":

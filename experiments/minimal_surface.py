@@ -128,16 +128,36 @@ class MinimalSurfaceNewton:
         return sols
 
     # --------------------------------------------------------------- solve
-    def solve(self, tol=1e-12, max_newton=30, verbose=True):
-        jnp = self.jnp
-        s = self.solver
-        u = jnp.where(s.bmask[s.maxlevel], s.u_bc[s.maxlevel], 0.0)
-        res_norms = []
-        for it in range(max_newton):
+    def _setup_step_jit(self):
+        """One jitted Newton setup: restrict the solution down the hierarchy
+        and evaluate all per-level linearized coefficients + the nonlinear
+        residual.  Compiled ONCE; iterations only stream new ``u`` arrays."""
+        jax = self.jax
+
+        def f(u):
             sols = self.restrict_solution(u)
             coefs = [self.linearized_coef(l, sols[l]) for l in range(len(sols))]
-            s.update_coefficients(coefs)
             r = self.residual(u)
+            return coefs, r
+
+        return jax.jit(f)
+
+    def solve(self, tol=1e-12, max_newton=30, verbose=True, u0=None):
+        jnp = self.jnp
+        s = self.solver
+        if u0 is None:
+            u0 = 0.0
+        u = jnp.where(s.bmask[s.maxlevel], s.u_bc[s.maxlevel], u0)
+        if not hasattr(self, "_setup_jit"):
+            self._setup_jit = self._setup_step_jit()
+            self._resnorm_jit = self.jax.jit(
+                lambda u: jnp.linalg.norm(self.residual(u))
+            )
+        res_norms = []
+        cg_total = 0
+        for it in range(max_newton):
+            coefs, r = self._setup_jit(u)
+            s.update_coefficients(coefs)
             rn = float(jnp.linalg.norm(r))
             res_norms.append(rn)
             if verbose:
@@ -145,29 +165,68 @@ class MinimalSurfaceNewton:
             if rn < tol:
                 break
             delta, cg_its, _ = s.solve_cg(rtol=1e-4, b=r)
+            cg_total += cg_its
             delta = jnp.where(s.bmask[s.maxlevel], 0.0, delta)
             alpha = 1.0
             for _ls in range(12):
-                rn_new = float(jnp.linalg.norm(self.residual(u + alpha * delta)))
+                rn_new = float(self._resnorm_jit(u + alpha * delta))
                 if rn_new < rn:
                     break
                 alpha *= 0.5
             u = u + alpha * delta
             if verbose:
                 print(f"  cg_its {cg_its}, step length {alpha}")
-        return u, res_norms
+        return u, res_norms, cg_total
+
+
+def run_refinement_cycles(n_cycles=2, first_levels=3, degree=4, tol=1e-12,
+                          verbose=True):
+    """Newton solve + global refinement cycles with solution interpolation
+    (/root/reference/minimal_surface/program.cc:623-647): after each
+    converged solve the ball mesh is refined once, the solution is
+    interpolated (2:1 FE embedding) onto the new finest level, and Newton
+    restarts warm — taking fewer iterations each cycle."""
+    import jax.numpy as jnp
+
+    results = []
+    u = None
+    for cyc in range(n_cycles):
+        levels = first_levels + cyc
+        newton = MinimalSurfaceNewton(levels, degree)
+        s = newton.solver
+        if u is not None:
+            # the new hierarchy's second-finest level IS the previous finest
+            # mesh (nested generator), so interpolation = one FE prolongation
+            u0 = s.transfers_nobc[s.maxlevel].prolongate(u)
+        else:
+            u0 = None
+        t0 = time.perf_counter()
+        u, res, cg_total = newton.solve(tol=tol, verbose=verbose, u0=u0)
+        dt = time.perf_counter() - t0
+        results.append(dict(cycle=cyc, dofs=s.grids[s.maxlevel].n_dofs,
+                            newton_its=len(res) - 1, cg_its=cg_total,
+                            final_residual=res[-1], seconds=dt))
+        if verbose:
+            print(f"cycle {cyc}: {results[-1]}")
+    return results
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--levels", type=int, default=3)
     ap.add_argument("--degree", type=int, default=4)
+    ap.add_argument("--cycles", type=int, default=1,
+                    help="refinement cycles (program.cc:623-647)")
     args = ap.parse_args()
     t0 = time.perf_counter()
-    newton = MinimalSurfaceNewton(args.levels, args.degree)
-    u, res = newton.solve()
-    print(f"converged in {len(res)-1} Newton steps, {time.perf_counter()-t0:.1f}s; "
-          f"final |r| = {res[-1]:.3e}")
+    if args.cycles > 1:
+        run_refinement_cycles(args.cycles, args.levels, args.degree)
+    else:
+        newton = MinimalSurfaceNewton(args.levels, args.degree)
+        u, res, cg_total = newton.solve()
+        print(f"converged in {len(res)-1} Newton steps "
+              f"({cg_total} CG its), {time.perf_counter()-t0:.1f}s; "
+              f"final |r| = {res[-1]:.3e}")
 
 
 if __name__ == "__main__":

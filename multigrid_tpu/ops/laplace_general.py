@@ -65,30 +65,34 @@ class GeneralLaplace:
             acc = apply_1d(acc, self.St, 1 + d)
         return acc
 
-    def _quad_op(self, g):
+    def _quad_op(self, g, C=None):
+        # ``C`` may override the stored coefficient so jitted solves can take
+        # it as a pytree argument (one compile across Newton iterations,
+        # cf. /root/reference/minimal_surface/program.cc:458-489)
+        C = self.C if C is None else C
         dim = self.dim
         out = []
         for a in range(dim):
             t = None
             for b_ in range(dim):
-                term = self.C[..., sym_index(dim, a, b_)] * g[b_]
+                term = C[..., sym_index(dim, a, b_)] * g[b_]
                 t = term if t is None else t + term
             out.append(t)
         return out
 
-    def apply_cells(self, u: jnp.ndarray) -> jnp.ndarray:
+    def apply_cells(self, u: jnp.ndarray, C=None) -> jnp.ndarray:
         g = self._eval_grads(self.gather(u))
-        return self.scatter_add(self._integrate_grads(self._quad_op(g)))
+        return self.scatter_add(self._integrate_grads(self._quad_op(g, C)))
 
     # --------------------------------------------------------------- vmult
-    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+    def vmult(self, src: jnp.ndarray, C=None) -> jnp.ndarray:
         xm = jnp.where(self.interior, src, 0)
-        y = self.apply_cells(xm)
+        y = self.apply_cells(xm, C)
         return jnp.where(self.interior, y, src)
 
-    def vmult_residual(self, rhs: jnp.ndarray, lhs: jnp.ndarray) -> jnp.ndarray:
+    def vmult_residual(self, rhs: jnp.ndarray, lhs: jnp.ndarray, C=None) -> jnp.ndarray:
         xm = jnp.where(self.interior, lhs, 0)
-        y = self.apply_cells(xm)
+        y = self.apply_cells(xm, C)
         return jnp.where(self.interior, rhs - y, rhs - lhs)
 
     # ----------------------------------------------------------------- rhs
@@ -104,13 +108,14 @@ class GeneralLaplace:
         return jnp.where(self.interior, b, 0)
 
     # ------------------------------------------------------------ diagonal
-    def inverse_diagonal(self) -> jnp.ndarray:
+    def inverse_diagonal(self, C=None) -> jnp.ndarray:
+        C = self.C if C is None else C
         b = self.grid.basis
         dim = self.dim
         comps = sym_components(dim)
         diag = None
         for s, (a, bb) in enumerate(comps):
-            term = self.C[..., s] * (1.0 if a == bb else 2.0)
+            term = C[..., s] * (1.0 if a == bb else 2.0)
             for e in range(dim):
                 Ta = b.D_col @ b.S if a == e else b.S
                 Tb = b.D_col @ b.S if bb == e else b.S

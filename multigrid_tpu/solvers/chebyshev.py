@@ -43,55 +43,51 @@ def eig_estimate_start_vector(shape, dtype, mask=None) -> jnp.ndarray:
     return jnp.asarray(v.reshape(shape), dtype)
 
 
-def estimate_eigenvalues(
+def lanczos_body(
     vmult: Callable,
     precond: Callable,
     n_iterations: int,
     rhs: jnp.ndarray,
-) -> tuple[float, float]:
-    """Largest/smallest eigenvalue estimate of P^{-1} A by CG-Lanczos.
+):
+    """Traced CG-Lanczos sweep: one ``lax.scan`` returning the CG
+    coefficient streams (alphas, betas, validity mask).  Kept jit-free so
+    callers can bake it into larger jitted programs with the operator's
+    coefficients as ARGUMENTS (one compile across Newton steps)."""
+    z0 = precond(rhs)
+    rz0 = jnp.vdot(rhs, z0)
+    # stop contributing once CG has converged to rounding level (the
+    # reference's full-size coarse-level estimate relies on deal.II's
+    # CG stopping early; stagnated Lanczos tails would pollute T)
+    eps = jnp.finfo(rhs.dtype).eps
+    floor = (100.0 * eps) ** 2 * rz0
 
-    Runs the whole CG as one ``lax.scan`` (a single device program — eager
-    per-iteration dispatch is prohibitively slow over remote-TPU links);
-    breakdown iterations are masked out and trimmed on the host.
-    """
-
-    @jax.jit
-    def run(rhs):
-        z0 = precond(rhs)
-        rz0 = jnp.vdot(rhs, z0)
-        # stop contributing once CG has converged to rounding level (the
-        # reference's full-size coarse-level estimate relies on deal.II's
-        # CG stopping early; stagnated Lanczos tails would pollute T)
-        eps = jnp.finfo(rhs.dtype).eps
-        floor = (100.0 * eps) ** 2 * rz0
-
-        def step(carry, _):
-            r, p, rz, valid = carry
-            q = vmult(p)
-            pq = jnp.vdot(p, q)
-            ok = valid & (pq > 0) & (rz > floor)
-            alpha = jnp.where(ok, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
-            r2 = r - alpha * q
-            z = precond(r2)
-            rz2 = jnp.vdot(r2, z)
-            beta = jnp.where(ok, rz2 / jnp.where(rz == 0, 1.0, rz), 0.0)
-            p2 = z + beta * p
-            carry = (
-                jnp.where(ok, r2, r),
-                jnp.where(ok, p2, p),
-                jnp.where(ok, rz2, rz),
-                ok & (rz2 > 0),
-            )
-            return carry, (alpha, beta, ok)
-
-        carry = (rhs, z0, rz0, jnp.asarray(True))
-        _, (alphas, betas, oks) = jax.lax.scan(
-            step, carry, None, length=n_iterations
+    def step(carry, _):
+        r, p, rz, valid = carry
+        q = vmult(p)
+        pq = jnp.vdot(p, q)
+        ok = valid & (pq > 0) & (rz > floor)
+        alpha = jnp.where(ok, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
+        r2 = r - alpha * q
+        z = precond(r2)
+        rz2 = jnp.vdot(r2, z)
+        beta = jnp.where(ok, rz2 / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p2 = z + beta * p
+        carry = (
+            jnp.where(ok, r2, r),
+            jnp.where(ok, p2, p),
+            jnp.where(ok, rz2, rz),
+            ok & (rz2 > 0),
         )
-        return alphas, betas, oks
+        return carry, (alpha, beta, ok)
 
-    alphas_d, betas_d, oks = run(rhs)
+    carry = (rhs, z0, rz0, jnp.asarray(True))
+    _, (alphas, betas, oks) = jax.lax.scan(step, carry, None, length=n_iterations)
+    return alphas, betas, oks
+
+
+def tridiag_extremes(alphas_d, betas_d, oks) -> tuple[float, float]:
+    """Host part: Lanczos tridiagonal off the CG coefficients -> extreme
+    Ritz values."""
     oks = np.asarray(oks)
     k = int(oks.sum())
     alphas = [float(a) for a in np.asarray(alphas_d)[:k]]
@@ -105,6 +101,54 @@ def estimate_eigenvalues(
             T[i, i + 1] = T[i + 1, i] = np.sqrt(betas[i]) / alphas[i]
     eigs = np.linalg.eigvalsh(T)
     return float(eigs[-1]), float(eigs[0])
+
+
+def estimate_eigenvalues(
+    vmult: Callable,
+    precond: Callable,
+    n_iterations: int,
+    rhs: jnp.ndarray,
+) -> tuple[float, float]:
+    """Largest/smallest eigenvalue estimate of P^{-1} A by CG-Lanczos.
+
+    Runs the whole CG as one ``lax.scan`` (a single device program — eager
+    per-iteration dispatch is prohibitively slow over remote-TPU links);
+    breakdown iterations are masked out and trimmed on the host.
+    """
+    run = jax.jit(lambda r: lanczos_body(vmult, precond, n_iterations, r))
+    alphas_d, betas_d, oks = run(rhs)
+    return tridiag_extremes(alphas_d, betas_d, oks)
+
+
+def interval_from_spectrum(
+    max_eig: float,
+    min_eig: float,
+    smoothing_range: float,
+    degree: Optional[int],
+    kind: str = FIRST_KIND,
+) -> tuple[float, float, int]:
+    """deal.II PreconditionChebyshev interval + degree conventions
+    (see :meth:`Chebyshev.create`); returns (theta, delta, n_apps)."""
+    max_est = 1.2 * max_eig
+    if smoothing_range > 1.0:
+        alpha_lb = max_est / smoothing_range
+    else:
+        alpha_lb = min(0.9 * max_est, min_eig)
+    if degree is None:
+        actual_range = max_est / alpha_lb if alpha_lb > 0 else 1e4
+        sigma = (1.0 - np.sqrt(1.0 / actual_range)) / (
+            1.0 + np.sqrt(1.0 / actual_range)
+        )
+        eps = smoothing_range
+        degree = int(
+            1
+            + np.log(1.0 / eps + np.sqrt(1.0 / eps / eps - 1.0))
+            / np.log(1.0 / sigma)
+        )
+    n_apps = int(degree) + 1 if kind == FIRST_KIND else int(degree)
+    theta = 0.5 * (max_est + alpha_lb)
+    delta = 0.5 * (max_est - alpha_lb)
+    return float(theta), float(delta), n_apps
 
 
 @dataclass
@@ -150,39 +194,22 @@ class Chebyshev:
         # exactly ``smoothing_range``.  (Getting this wrong — boosting only
         # the upper end — widens the ratio to 1.2*range and visibly changes
         # the reference's V-cycle reductions and CG iteration counts.)
-        max_est = 1.2 * max_eig
-        if smoothing_range > 1.0:
-            alpha_lb = max_est / smoothing_range
-        else:
-            alpha_lb = min(0.9 * max_est, min_eig)
-        if degree is None:
-            # choose degree to reduce the full range by eps=smoothing_range
-            actual_range = max_est / alpha_lb if alpha_lb > 0 else 1e4
-            sigma = (1.0 - np.sqrt(1.0 / actual_range)) / (
-                1.0 + np.sqrt(1.0 / actual_range)
-            )
-            eps = smoothing_range
-            degree = int(
-                1
-                + np.log(1.0 / eps + np.sqrt(1.0 / eps / eps - 1.0))
-                / np.log(1.0 / sigma)
-            )
         # ``degree`` carries deal.II semantics: k operator applications in
         # ``vmult`` and an error polynomial of degree k+1 per pass.  The
         # recurrence below counts preconditioner applications, i.e. its
         # count is k+1 (vmult: k+1 diagonal scalings, k matvecs).  The
         # k+1-degree polynomial (not k, not 2k) together with the exact
-        # interval above reproduces the reference transcript's V-cycle
-        # reductions 0.109/0.161/0.182/0.132 and cg_its = 8 row-for-row
-        # (/root/reference/README.md:136-159).
-        n_apps = int(degree) + 1 if kind == FIRST_KIND else int(degree)
-        theta = 0.5 * (max_est + alpha_lb)
-        delta = 0.5 * (max_est - alpha_lb)
+        # interval (interval_from_spectrum) reproduces the reference
+        # transcript's V-cycle reductions 0.109/0.161/0.182/0.132 and
+        # cg_its = 8 row-for-row (/root/reference/README.md:136-159).
+        theta, delta, n_apps = interval_from_spectrum(
+            max_eig, min_eig, smoothing_range, degree, kind
+        )
         return Chebyshev(
             vmult_op=vmult_op,
             precond=precond,
-            theta=float(theta),
-            delta=float(delta),
+            theta=theta,
+            delta=delta,
             degree=n_apps,
             max_eig=max_eig,
             min_eig=min_eig,
@@ -195,7 +222,10 @@ class Chebyshev:
         fori_loop (large auto-degrees on the coarse level would otherwise
         unroll into huge XLA graphs)."""
         th, de = self.theta, self.delta
-        if self.degree <= 1:
+        # ``degree`` may be a traced scalar (pytree-parameterized solvers
+        # pass the auto-chosen coarse degree as a jit argument so Newton
+        # steps don't recompile); fori_loop accepts dynamic trip counts
+        if isinstance(self.degree, (int, np.integer)) and self.degree <= 1:
             return x
 
         def body(_, s):

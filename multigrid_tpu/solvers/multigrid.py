@@ -202,6 +202,23 @@ class MultigridSolver:
         self._vcycle_jits = {}
         self._resid_jits = {}
         self._misc_jits = {}
+        # per-level sharding hook (identity on one device).  The distributed
+        # wrapper (parallel/distributed.py) replaces it with
+        # ``lax.with_sharding_constraint`` so GSPMD keeps every level's
+        # vectors domain-decomposed — the TPU analogue of the reference's
+        # per-level MPI partitioners (multigrid_solver.h:151-200).
+        self._constrain = lambda level, x: x
+
+    def reset_jit_caches(self):
+        """Drop all cached jitted callables (needed when the sharding hook
+        changes after construction)."""
+        self._fmg_jit = None
+        self._cg_jit = None
+        self._vmult_dp_jit = None
+        self._vmult_sp_jit = None
+        self._vcycle_jits = {}
+        self._resid_jits = {}
+        self._misc_jits = {}
 
     def exact_on_quad(self, level: int) -> jnp.ndarray:
         """Analytic solution at the quadrature points of one level (lazily
@@ -235,6 +252,7 @@ class MultigridSolver:
     # ------------------------------------------------------------- v-cycle
     def v_cycle(self, level: int, defect: jnp.ndarray, n_cyc: int) -> jnp.ndarray:
         """Returns the correction; multigrid_solver.h:640-681."""
+        defect = self._constrain(level, defect)
         if level == self.minlevel:
             return self.smoothers[level].vmult(defect)
         upd = None
@@ -246,7 +264,7 @@ class MultigridSolver:
             t = self.sp_ops[level].vmult_residual(defect, upd)
             dc = self.transfers[level].restrict(t)
             corr = self.v_cycle(level - 1, dc, 1)
-            upd = upd + self.transfers[level].prolongate(corr)
+            upd = upd + self._constrain(level, self.transfers[level].prolongate(corr))
             upd = self.smoothers[level].step(upd, defect)
         return upd
 
@@ -263,7 +281,7 @@ class MultigridSolver:
         sols.append(sol)
         for l in range(1, self.maxlevel + 1):
             sol_bc = jnp.where(self.bmask[l - 1], u_bc[l - 1], sol)
-            sol = self.transfers_nobc[l].prolongate(sol_bc)
+            sol = self._constrain(l, self.transfers_nobc[l].prolongate(sol_bc))
             sol = jnp.where(self.bmask[l], 0.0, sol)
             res = self.dp_ops[l].vmult_residual(rhs[l], sol)
             upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles)

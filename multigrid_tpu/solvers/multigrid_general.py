@@ -99,22 +99,51 @@ class GeneralMultigridSolver:
             self.smoothers.append(sm)
         self._fmg_jit = None
         self._cg_jit = None
+        # pytree-parameterized solve path (one compile across Newton steps)
+        self._params = None
+        self._cg_param_jit = None
+        self._eig_jits = {}
+        self._inv_diag_jits = {}
 
     # ---------------------------------------------------------------- core
-    def v_cycle(self, level: int, defect: jnp.ndarray, n_cyc: int) -> jnp.ndarray:
+    def _smoother_at(self, level: int, params=None):
+        """Level smoother; with ``params`` the coefficient, diagonal and
+        Chebyshev interval are read from the pytree (traced values)."""
+        if params is None:
+            return self.smoothers[level]
+        import dataclasses
+
+        op = self.ops[level]
+        C = params["C_sp"][level]
+        inv_diag = params["inv_diag"][level]
+        sm = self.smoothers[level]
+        degree = sm.degree if level > self.minlevel else params["coarse_degree"]
+        return dataclasses.replace(
+            sm,
+            vmult_op=lambda x: op.vmult(x, C=C),
+            precond=lambda r: inv_diag * r,
+            theta=params["theta"][level],
+            delta=params["delta"][level],
+            degree=degree,
+        )
+
+    def v_cycle(self, level: int, defect: jnp.ndarray, n_cyc: int,
+                params=None) -> jnp.ndarray:
+        sm = self._smoother_at(level, params)
         if level == self.minlevel:
-            return self.smoothers[level].vmult(defect)
+            return sm.vmult(defect)
+        C = None if params is None else params["C_sp"][level]
         upd = None
         for _ in range(n_cyc):
             if upd is None:
-                upd = self.smoothers[level].vmult(defect)
+                upd = sm.vmult(defect)
             else:
-                upd = self.smoothers[level].step(upd, defect)
-            t = self.ops[level].vmult_residual(defect, upd)
+                upd = sm.step(upd, defect)
+            t = self.ops[level].vmult_residual(defect, upd, C=C)
             dc = self.transfers[level].restrict(t)
-            corr = self.v_cycle(level - 1, dc, 1)
+            corr = self.v_cycle(level - 1, dc, 1, params)
             upd = upd + self.transfers[level].prolongate(corr)
-            upd = self.smoothers[level].step(upd, defect)
+            upd = sm.step(upd, defect)
         return upd
 
     def _fmg(self):
@@ -137,48 +166,107 @@ class GeneralMultigridSolver:
         sol = self._fmg_jit()
         return jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
 
-    def _precond(self, r):
-        return self.v_cycle(self.maxlevel, r.astype(self.v_dtype), 1).astype(self.f_dtype)
+    def _precond(self, r, params=None):
+        return self.v_cycle(
+            self.maxlevel, r.astype(self.v_dtype), 1, params
+        ).astype(self.f_dtype)
 
     def solve_cg(self, rtol=1e-9, abs_tol=1e-16, max_iterations=1000, b=None):
-        if self._cg_jit is None:
-            self._cg_jit = jax.jit(
-                partial(cg_solve, self.ops_dp[self.maxlevel].vmult,
-                        precond=self._precond, max_iterations=max_iterations,
-                        abs_tol=abs_tol, rtol=rtol)
-            )
-        res: CGResult = self._cg_jit(self.rhs[self.maxlevel] if b is None else b)
+        L = self.maxlevel
+        b = self.rhs[L] if b is None else b
+        if self._params is not None:
+            if self._cg_param_jit is None:
+                self._cg_param_jit = jax.jit(
+                    lambda bb, params: cg_solve(
+                        lambda x: self.ops_dp[L].vmult(x, C=params["C_dp"][L]),
+                        bb,
+                        precond=lambda r: self._precond(r, params),
+                        max_iterations=max_iterations,
+                        abs_tol=abs_tol, rtol=rtol,
+                    )
+                )
+            res: CGResult = self._cg_param_jit(b, self._params)
+        else:
+            if self._cg_jit is None:
+                self._cg_jit = jax.jit(
+                    partial(cg_solve, self.ops_dp[L].vmult,
+                            precond=self._precond, max_iterations=max_iterations,
+                            abs_tol=abs_tol, rtol=rtol)
+                )
+            res = self._cg_jit(b)
         its = int(res.iterations)
         red = float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
-        sol = jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], res.x)
+        sol = jnp.where(self.bmask[L], self.u_bc[L], res.x)
         return sol, its, red
 
     # --------------------------------------------------- nonlinear support
+    def _eig_jit(self, level: int):
+        """Per-level jitted Lanczos sweep with (rhs, C, inv_diag) as
+        ARGUMENTS — compiled once, reused every Newton step."""
+        if level not in self._eig_jits:
+            from .chebyshev import lanczos_body
+
+            op = self.ops[level]
+            n_it = 15 if level > self.minlevel else self.grids[level].n_dofs
+
+            def f(rhs, C, inv_diag):
+                return lanczos_body(
+                    lambda x: op.vmult(x, C=C), lambda r: inv_diag * r,
+                    n_it, rhs,
+                )
+
+            self._eig_jits[level] = jax.jit(f)
+        return self._eig_jits[level]
+
+    def _inv_diag_jit(self, level: int):
+        if level not in self._inv_diag_jits:
+            self._inv_diag_jits[level] = jax.jit(self.ops[level].inverse_diagonal)
+        return self._inv_diag_jits[level]
+
     def update_coefficients(self, coefs):
         """Replace per-level merged coefficients (device arrays shaped like
-        op.C) and rebuild diagonals + Chebyshev smoothers — the per-Newton-
-        iteration refresh of minimal_surface
-        (/root/reference/minimal_surface/program.cc:458-489)."""
-        for l, C in enumerate(coefs):
-            self.ops[l].C = C.astype(self.v_dtype)
-            self.ops_dp[l].C = C.astype(self.f_dtype)
-        smoothers = []
-        for l in range(len(self.grids)):
-            inv_diag = jax.jit(self.ops[l].inverse_diagonal)()
+        op.C) — the per-Newton-iteration refresh of minimal_surface
+        (/root/reference/minimal_surface/program.cc:458-489).
+
+        TPU-native design: coefficients, diagonals and Chebyshev intervals
+        become a PYTREE passed as a jit argument, so the CG/V-cycle program
+        compiles ONCE and Newton iterations only swap device arrays.  Only
+        the tiny Lanczos tridiagonal eigensolve runs on the host."""
+        from .chebyshev import eig_estimate_start_vector, interval_from_spectrum, tridiag_extremes
+
+        L = len(self.grids)
+        C_sp = [jnp.asarray(C, self.v_dtype) for C in coefs]
+        C_dp = [jnp.asarray(C, self.f_dtype) for C in coefs]
+        inv_diag = [self._inv_diag_jit(l)(C_sp[l]) for l in range(L)]
+        theta, delta = [], []
+        coarse_degree = None
+        for l in range(L):
+            rhs0 = eig_estimate_start_vector(
+                (self.grids[l].n_dofs,), self.v_dtype
+            )
+            a, b_, o = self._eig_jit(l)(rhs0, C_sp[l], inv_diag[l])
+            max_eig, min_eig = tridiag_extremes(a, b_, o)
             if l > self.minlevel:
-                sm = Chebyshev.create(
-                    self.ops[l].vmult, inv_diag, smoothing_range=20.0,
-                    degree=self._n_pre, eig_cg_n_iterations=15,
-                    kind=FIRST_KIND,
+                th, de, _ = interval_from_spectrum(
+                    max_eig, min_eig, 20.0, self._n_pre, FIRST_KIND
                 )
             else:
-                sm = Chebyshev.create(
-                    self.ops[l].vmult, inv_diag, smoothing_range=1e-3,
-                    degree=None, eig_cg_n_iterations=self.grids[l].n_dofs,
-                    kind=FIRST_KIND,
+                th, de, n_apps = interval_from_spectrum(
+                    max_eig, min_eig, 1e-3, None, FIRST_KIND
                 )
-            smoothers.append(sm)
-        self.smoothers = smoothers
+                coarse_degree = n_apps
+            theta.append(th)
+            delta.append(de)
+        self._params = dict(
+            C_sp=C_sp, C_dp=C_dp, inv_diag=inv_diag,
+            theta=theta, delta=delta,
+            coarse_degree=jnp.asarray(coarse_degree, jnp.int32),
+        )
+        # keep the object-level coefficients in sync for the non-param
+        # entry points (rhs assembly, l2_error, direct vmult use)
+        for l in range(L):
+            self.ops[l].C = C_sp[l]
+            self.ops_dp[l].C = C_dp[l]
         self._cg_jit = None
         self._fmg_jit = None
 
