@@ -103,6 +103,10 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     if verbose:
         print({k: (float(v) if isinstance(v, (np.floating, float)) else v)
                for k, v in row.items()})
+        # memory telemetry (reference program.cc:273-279)
+        from multigrid_tpu.utils.memory import print_memory_report
+
+        print_memory_report(solver)
     return row
 
 

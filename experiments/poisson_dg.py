@@ -60,6 +60,30 @@ def main():
                    cg_time=best, cg_its=frac_its, cg_reduction=rate,
                    cg_L2error=err)
         print(row)
+        # matvec telemetry (reference poisson_dg/program.cc:266-309)
+        import jax.numpy as jnp
+
+        from multigrid_tpu.utils.perf_model import dg_matvec_model, print_matvec_details
+
+        op = s.op_dp
+        vmult = jax.jit(op.vmult)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal(op.grid.shape),
+            sol.dtype,
+        )
+        vmult(x).block_until_ready()
+        n_rep = max(5, min(50, 5_000_000 // n_dofs))
+        best_mv = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                y = vmult(x)
+            y.block_until_ready()
+            best_mv = min(best_mv, (time.perf_counter() - t0) / n_rep)
+        m = dg_matvec_model(args.dim, args.degree,
+                            mesh.n_cells(mesh.max_level), args.kind,
+                            np.dtype(str(sol.dtype)).itemsize, n_dofs, best_mv)
+        print_matvec_details(f"matvec:{args.kind}", m, n_dofs)
         rows.append(row)
 
     from multigrid_tpu.utils.tables import print_convergence_table

@@ -220,6 +220,86 @@ class LaplaceOperator:
         b = scatter_cells(y, self.n)
         return jnp.where(self.interior, b, 0)
 
+    def _z_chunk(self, target_dofs: int = 2_000_000) -> int:
+        """Largest z-cell-slab divisor keeping per-slab work <= target."""
+        ncz = self.grid.cells[0]
+        per_layer = self.grid.n_dofs // max(ncz, 1)
+        want = max(1, target_dofs // max(per_layer, 1))
+        for c in range(min(want, ncz), 0, -1):
+            if ncz % c == 0:
+                return c
+        return 1
+
+    def compute_rhs_chunked(self, f_quad: jnp.ndarray, u_bc: jnp.ndarray,
+                            target_dofs: int = 2_000_000) -> jnp.ndarray:
+        """z-slab-chunked :meth:`compute_rhs` via ``lax.map``: the monolithic
+        dp assembly materializes full-size padded einsum intermediates that
+        exceed HBM above ~20M dofs (XLA pads the minor (p+1)-wide axes to the
+        (8,128) tile); slabs keep working sets on-chip.  Cell slabs overlap
+        by one node plane, merged by the additive window scatter."""
+        from .windows import scatter_axis, window_axis
+
+        assert isinstance(self.coef, DiagCoef), "chunked path: affine bricks"
+        assert self.dim == 3
+        p = self.grid.degree
+        ncz = self.grid.cells[0]
+        cz = self._z_chunk(target_dofs)
+        S = ncz // cz
+        if S <= 1:
+            return self.compute_rhs(f_quad, u_bc)
+        fq = f_quad.reshape((S, cz) + f_quad.shape[1:])
+        ub = window_axis(u_bc, 0, cz * p + 1)  # [S, w, Y, X]
+
+        def body(args):
+            fq_s, ub_s = args
+            jxw = self.grid.jxw_scalar
+            fv = self._from_quad_t(fq_s.astype(self.dtype) * (self.w3d * jxw))
+            w = gather_cells(ub_s, self.n)
+            uq = self._to_quad(w)
+            g = self._gradients(uq)
+            gq = self._quad_op(g)
+            acc = apply_1d(gq[0], self.Dt, 1)
+            for d in range(1, self.dim):
+                acc = acc + apply_1d(gq[d], self.Dt, 2 * d + 1)
+            y = fv - self._from_quad_t(acc)
+            return scatter_cells(y, self.n)  # [w, Y, X]
+
+        slabs = jax.lax.map(body, (fq, ub))
+        b = scatter_axis(slabs, 0)
+        return jnp.where(self.interior, b, 0)
+
+    def l2_error_chunked(self, u: jnp.ndarray, exact_quad: jnp.ndarray,
+                         target_dofs: int = 2_000_000) -> jnp.ndarray:
+        """z-slab-chunked :meth:`l2_error` (same HBM rationale)."""
+        from .windows import window_axis
+
+        assert self.dim == 3
+        p = self.grid.degree
+        ncz = self.grid.cells[0]
+        cz = self._z_chunk(target_dofs)
+        S = ncz // cz
+        if S <= 1:
+            return self.l2_error(u, exact_quad)
+        eq = exact_quad.reshape((S, cz) + exact_quad.shape[1:])
+        uw = window_axis(u, 0, cz * p + 1)
+        jxw = self.w3d * self.grid.jxw_scalar
+        use_df64 = u.dtype == jnp.float64
+        if use_df64:
+            from .df64 import sum_f64
+
+        def body(args):
+            u_s, eq_s = args
+            uq = self._to_quad(gather_cells(u_s, self.n))
+            sq = (uq - eq_s) ** 2 * jxw
+            return sum_f64(sq) if use_df64 else jnp.sum(sq)
+
+        errs = jax.lax.map(body, (uw, eq))
+        err = jnp.sum(errs)
+        vol = float(np.prod(exact_quad.shape)) / self.w3d.size * float(
+            np.asarray(self.w3d, np.float64).sum()
+        ) * self.grid.jxw_scalar
+        return jnp.sqrt(err / vol)
+
     # ------------------------------------------------------------ diagonal
     def inverse_diagonal(self) -> jnp.ndarray:
         """1/diag(A) with 1.0 on Dirichlet rows

@@ -75,8 +75,13 @@ class HaloLaplace:
         of the global operator is sliced to the local rows."""
         return self.op.apply_cells(xloc)
 
-    def vmult_distributed(self):
-        """Returns a jitted distributed vmult acting on [nd, loc_nz, Y, X]."""
+    def vmult_distributed(self, comm: bool = True):
+        """Returns a jitted distributed vmult acting on [nd, loc_nz, Y, X].
+
+        With ``comm=False`` the two neighbor permutes are replaced by zero
+        traffic (same local compute): timing both variants yields the
+        comm-vs-cell-loop split the reference prints per matvec
+        (/root/reference/common/laplace_operator_dg.h:766-768)."""
         op = self.op
         nd, axis = self.nd, self.axis
         interior = np.asarray(~op.grid.boundary_mask())
@@ -100,11 +105,13 @@ class HaloLaplace:
             # compress(add): my first-plane partial belongs to the left
             # neighbor's last plane
             first = y[0]
-            from_right = jax.lax.ppermute(first, axis, bwd)
+            from_right = (jax.lax.ppermute(first, axis, bwd) if comm
+                          else jnp.zeros_like(first))
             y = y.at[-1].add(jnp.where(d < nd - 1, 1.0, 0.0) * from_right)
             # update_ghost_values: completed last plane -> right neighbor
             last = y[-1]
-            from_left = jax.lax.ppermute(last, axis, fwd)
+            from_left = (jax.lax.ppermute(last, axis, fwd) if comm
+                         else jnp.zeros_like(last))
             y = y.at[0].set(jnp.where(d > 0, from_left, y[0]))
             out = jnp.where(m, y, x)
             return out[None]
@@ -117,6 +124,38 @@ class HaloLaplace:
                 in_specs=(P(axis), P(axis)), out_specs=P(axis),
             )
         ), masks
+
+    def comm_split_report(self, n_rep: int = 50) -> dict:
+        """Comm-vs-cell-loop wall-time split of the distributed matvec (the
+        reference's per-matvec telemetry, laplace_operator_dg.h:766-768):
+        times the full exchange variant and a zero-traffic variant of the
+        SAME program and reports the difference as communication cost."""
+        import time as _time
+
+        import numpy as _np
+
+        u = jnp.asarray(
+            _np.random.default_rng(0).standard_normal(
+                (self.Z,) + self.op.grid.shape[1:]
+            ),
+            self.op.dtype,
+        )
+        v = self.distribute(u)
+        out = {}
+        for name, flag in (("total", True), ("cell_loop", False)):
+            fn, masks = self.vmult_distributed(comm=flag)
+            fn(v, masks).block_until_ready()
+            best = _np.inf
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                for _ in range(n_rep):
+                    y = fn(v, masks)
+                y.block_until_ready()
+                best = min(best, (_time.perf_counter() - t0) / n_rep)
+            out[name] = best
+        out["comm"] = max(0.0, out["total"] - out["cell_loop"])
+        out["comm_fraction"] = out["comm"] / out["total"] if out["total"] else 0.0
+        return out
 
     def dot_distributed(self):
         """Owned-plane-masked global inner product (psum)."""

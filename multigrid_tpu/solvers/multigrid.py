@@ -153,7 +153,12 @@ class MultigridSolver:
             self.u_bc.append(ubc)
             quads = g.quad_coords_interleaved()
             f_quad = jnp.asarray(np.asarray(rhs_fn(quads), dtype=np.float64), f_dtype)
-            self.rhs.append(jax.jit(self.ops_dp[l].compute_rhs)(f_quad, ubc))
+            # chunked assembly above ~4M dofs: the monolithic dp einsums
+            # materialize padded intermediates that OOM a 16GB chip
+            rhs_fn_op = (self.ops_dp[l].compute_rhs_chunked
+                         if g.dim == 3 and g.n_dofs > 4_000_000
+                         else self.ops_dp[l].compute_rhs)
+            self.rhs.append(jax.jit(rhs_fn_op)(f_quad, ubc))
             del f_quad
 
         # Chebyshev smoothers (multigrid_solver.h:268-291).  The diagonal
@@ -369,7 +374,12 @@ class MultigridSolver:
     # ----------------------------------------------------------- analysis
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
         u = jnp.where(self.bmask[level], self.u_bc[level], sol)
-        return float(self.ops_dp[level].l2_error(u, self.exact_on_quad(level)))
+        g = self.grids[level]
+        fn = (self.ops_dp[level].l2_error_chunked
+              if g.dim == 3 and g.n_dofs > 4_000_000
+              else self.ops_dp[level].l2_error)
+        return float(self._jit_of((level, "l2err"), fn)(
+            u, self.exact_on_quad(level)))
 
     def v_cycle_timed(self, level: int, defect: jnp.ndarray, n_cyc: int,
                       timings) -> jnp.ndarray:

@@ -89,3 +89,26 @@ def test_halo_cg_end_to_end(setup):
         p = r + (rz2 / rz) * p
         rz = rz2
     assert np.allclose(x_dist, np.asarray(x), atol=1e-10)
+
+
+def test_halo_comm_split_report(setup):
+    """Comm-vs-cell-loop telemetry (laplace_operator_dg.h:766-768): both
+    variants compile and the report is consistent."""
+    op, halo = setup
+    rep = halo.comm_split_report(n_rep=3)
+    assert rep["total"] > 0 and rep["cell_loop"] > 0
+    assert 0.0 <= rep["comm_fraction"] < 1.0
+    # the zero-traffic variant must still compute the interior correctly
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(op.grid.shape))
+    y_ref = np.asarray(op.vmult(x))
+    vmult_nc, masks = halo.vmult_distributed(comm=False)
+    y = np.asarray(halo.collect(vmult_nc(halo.distribute(x), masks)))
+    # away from slab interfaces (2p+1 planes around each cut) values match
+    p = op.grid.degree
+    interior_rows = [
+        z for z in range(op.grid.shape[0])
+        if all(abs(z - c * halo.loc_cells * p) > p
+               for c in range(halo.nd + 1))
+    ]
+    np.testing.assert_allclose(y[interior_rows], y_ref[interior_rows],
+                               rtol=1e-10, atol=1e-12)

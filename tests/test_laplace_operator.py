@@ -94,3 +94,37 @@ def test_rhs_and_error():
     b = np.asarray(op.compute_rhs(f_quad, jnp.asarray(u_bc)))
     b_ref = assemble_rhs(grid, f_fn, u_bc.reshape(-1))
     assert np.allclose(b.reshape(-1), b_ref, atol=1e-11)
+
+
+def test_chunked_rhs_and_l2_error_match_monolithic():
+    """z-slab-chunked setup/analysis paths (HBM-safe at the flagship size)
+    agree with the monolithic assembly to rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.poisson_cube import exact_fn, rhs_fn
+    from multigrid_tpu.mesh.brick import DofGrid, poisson_cube_mesh
+
+    mesh = poisson_cube_mesh(4)
+    grid = DofGrid(mesh, mesh.max_level, 3)
+    op = LaplaceOperator(grid, jnp.float64)
+    quads = grid.quad_coords_interleaved()
+    f_quad = jnp.asarray(np.asarray(rhs_fn(quads), np.float64))
+    nodes = grid.node_coords()
+    vals = np.broadcast_to(np.asarray(exact_fn(nodes), np.float64), grid.shape)
+    u_bc = jnp.asarray(np.where(np.asarray(grid.boundary_mask()), vals, 0.0))
+
+    b_ref = np.asarray(jax.jit(op.compute_rhs)(f_quad, u_bc))
+    b_chk = np.asarray(
+        jax.jit(lambda f, u: op.compute_rhs_chunked(f, u, target_dofs=500))(
+            f_quad, u_bc)
+    )
+    np.testing.assert_allclose(b_chk, b_ref, rtol=1e-13, atol=1e-15)
+
+    eq = jnp.asarray(np.asarray(exact_fn(quads), np.float64))
+    u = jnp.asarray(vals)
+    e_ref = float(jax.jit(op.l2_error)(u, eq))
+    e_chk = float(
+        jax.jit(lambda a, b: op.l2_error_chunked(a, b, target_dofs=500))(u, eq)
+    )
+    assert abs(e_chk - e_ref) <= 1e-12 * max(abs(e_ref), 1e-30), (e_chk, e_ref)
