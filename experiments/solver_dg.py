@@ -67,9 +67,43 @@ def run(degree: int, kind: str, n_cell_steps: int, n_iterations: int = 50):
 
         return cg_fixed
 
+    def make_cg_unfused(apply):
+        """Deliberately UNFUSED CG: every sub-step is its own jit dispatch
+        (separate kernels, separate HBM passes).  The fused variants above
+        run the whole loop as one program — the TPU analogue of the
+        reference's interleaved CG (solver_dg/program.cc:39-70), where XLA
+        performs the vector-update/cell-loop interleaving the reference
+        hand-schedules.  Timing both QUANTIFIES that fusion."""
+        apply_j = jax.jit(apply)
+        jac_j = jax.jit(jac.vmult)
+        axpy = jax.jit(lambda a, x, y: x + a * y)
+        dot = jax.jit(jnp.vdot)
+
+        def cg_fixed(b):
+            x = jnp.zeros_like(b)
+            r = b
+            z = jac_j(r)
+            p = z
+            rz = dot(r, z)
+            for _ in range(n_iterations):
+                q = apply_j(p)
+                alpha = rz / dot(p, q)
+                x = axpy(alpha, x, p)
+                r = axpy(-alpha, r, q)
+                z = jac_j(r)
+                rz2 = dot(r, z)
+                p = axpy(rz2 / rz, z, p)
+                rz = rz2
+            return x, jnp.linalg.norm(r)
+
+        return cg_fixed
+
     results = {}
-    for name, apply in (("cell-based", op.apply), ("face-based", op_face.vmult)):
-        cg_fixed = make_cg(apply)
+    for name, cg_fixed in (
+        ("cell-based", make_cg(op.apply)),
+        ("face-based", make_cg(op_face.vmult)),
+        ("unfused", make_cg_unfused(op.apply)),
+    ):
         x, rn = cg_fixed(b)
         jax.block_until_ready(x)
         best = np.inf
@@ -79,16 +113,19 @@ def run(degree: int, kind: str, n_cell_steps: int, n_iterations: int = 50):
             jax.block_until_ready(x)
             best = min(best, time.perf_counter() - t0)
         per_it = best / n_iterations
-        results[name] = x
+        results[name] = (x, per_it)
         print(f"{name:10s} {kind:8s} p={degree} n_dof={grid.n_dofs:>10d}  "
               f"{per_it:.5f} s/it  DoFs/s/it {grid.n_dofs/per_it:.4g}  "
               f"|r|={float(rn):.3e}")
-    # cross-verify the two CG solutions
+    print(f"          fusion speedup (unfused / fused cell-based): "
+          f"{results['unfused'][1] / results['cell-based'][1]:.2f}x")
+    # cross-verify the CG solutions
     # (/root/reference/solver_dg/program.cc:240-241, 262-263)
-    diff = float(jnp.max(jnp.abs(results["cell-based"] - results["face-based"])))
-    ref = float(jnp.max(jnp.abs(results["face-based"])))
-    print(f"          verification of cell vs face solution: {diff/ref:.2e}")
-    assert diff < 1e-9 * ref, (diff, ref)
+    ref = float(jnp.max(jnp.abs(results["face-based"][0])))
+    for name in ("cell-based", "unfused"):
+        diff = float(jnp.max(jnp.abs(results[name][0] - results["face-based"][0])))
+        print(f"          verification {name} vs face solution: {diff/ref:.2e}")
+        assert diff < 1e-9 * ref, (name, diff, ref)
 
 
 def main():

@@ -24,14 +24,38 @@ import numpy as np
 from .dg import DGGrid, DGLaplace
 
 
-def _dense_matrix(op: DGLaplace):
+def _transformed_diagonals(op: DGLaplace, T3: np.ndarray):
+    """Per-cell transformed diagonals d[ci][i] = t_i^T A_{ci,ci} t_i on the
+    probe mesh, WITHOUT assembling any dense matrix: place eigenbasis
+    vector t_i simultaneously in every cell of one checkerboard parity
+    (face couplings only connect opposite parities, so each cell's response
+    is its uncontaminated self-block), apply the operator once per basis
+    vector, and read off the Rayleigh quotients.  2*n^dim operator applies
+    total — scale-free in the number of probe cells."""
     grid = op.grid
-    N = grid.n_dofs
-    I = np.eye(N)
-    cols = jax.vmap(lambda e: op.apply(e.reshape(grid.shape)).reshape(-1))(
-        jnp.asarray(I, op.dtype)
-    )
-    return np.asarray(cols, np.float64).T
+    dim, n = grid.dim, grid.n
+    Nc = n**dim
+    cells = grid.cells
+    d = np.zeros(cells + (Nc,))
+    parity_of = {ci: sum(ci) % 2 for ci in np.ndindex(*cells)}
+    for parity in (0, 1):
+        sel = [ci for ci in np.ndindex(*cells) if parity_of[ci] == parity]
+        if not sel:
+            continue
+        base = np.zeros((Nc,) + cells + (n,) * dim)
+        for i in range(Nc):
+            blk = T3[:, i].reshape((n,) * dim)
+            for ci in sel:
+                base[i][ci] = blk
+        ys = np.asarray(
+            jax.vmap(op.apply)(jnp.asarray(base, op.dtype)), np.float64
+        )
+        for i in range(Nc):
+            for ci in sel:
+                d[ci][..., i] = float(
+                    np.sum(ys[i][ci] * T3[:, i].reshape((n,) * dim))
+                )
+    return d
 
 
 class JacobiTransformed:
@@ -49,17 +73,12 @@ class JacobiTransformed:
         probe_cells = tuple(min(c, 3) for c in grid.cells)
         probe = DGGrid(cells=probe_cells, jacobian=grid.jacobian,
                        degree=grid.degree, kind=grid.kind)
-        A = _dense_matrix(DGLaplace(probe, jnp.float64))
         Nc = n**dim
         T3 = np.array([[1.0]])
         for _ in range(dim):
             T3 = np.kron(T3, b.T)
-        # per-category transformed diagonal
-        d_cat = np.zeros(probe_cells + (Nc,))
-        n_probe = int(np.prod(probe_cells))
-        for k, ci in enumerate(np.ndindex(*probe_cells)):
-            blk = A[k * Nc : (k + 1) * Nc, k * Nc : (k + 1) * Nc]
-            d_cat[ci] = np.einsum("ji,jk,ki->i", T3, blk, T3)
+        # per-category transformed diagonal via checkerboard Rayleigh probes
+        d_cat = _transformed_diagonals(DGLaplace(probe, jnp.float64), T3)
         # map categories to the real mesh
         idx = []
         for d in range(dim):

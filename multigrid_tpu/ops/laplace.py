@@ -231,12 +231,19 @@ class LaplaceOperator:
         return 1
 
     def compute_rhs_chunked(self, f_quad: jnp.ndarray, u_bc: jnp.ndarray,
-                            target_dofs: int = 2_000_000) -> jnp.ndarray:
-        """z-slab-chunked :meth:`compute_rhs` via ``lax.map``: the monolithic
-        dp assembly materializes full-size padded einsum intermediates that
-        exceed HBM above ~20M dofs (XLA pads the minor (p+1)-wide axes to the
-        (8,128) tile); slabs keep working sets on-chip.  Cell slabs overlap
-        by one node plane, merged by the additive window scatter."""
+                            target_dofs: int = 4_000_000) -> jnp.ndarray:
+        """z-slab-chunked :meth:`compute_rhs`: the monolithic dp assembly
+        materializes full-size padded einsum intermediates that exceed HBM
+        above ~20M dofs (XLA pads the minor (p+1)-wide axes to the (8,128)
+        tile); slabs keep working sets on-chip.  Cell slabs overlap by one
+        node plane, merged by the additive window scatter.
+
+        The slab loop is UNROLLED, not a ``lax.map``: XLA:TPU compiles f64
+        dot_generals inside scan/map bodies with a reduced-precision
+        strategy (~2e-8 relative, measured), while the same einsums unrolled
+        keep full fp64-emulation accuracy (2e-16).  rhs accuracy feeds the
+        1e-9 outer CG directly, so correctness beats the map's smaller
+        program here (setup-only path)."""
         from .windows import scatter_axis, window_axis
 
         assert isinstance(self.coef, DiagCoef), "chunked path: affine bricks"
@@ -250,8 +257,7 @@ class LaplaceOperator:
         fq = f_quad.reshape((S, cz) + f_quad.shape[1:])
         ub = window_axis(u_bc, 0, cz * p + 1)  # [S, w, Y, X]
 
-        def body(args):
-            fq_s, ub_s = args
+        def body(fq_s, ub_s):
             jxw = self.grid.jxw_scalar
             fv = self._from_quad_t(fq_s.astype(self.dtype) * (self.w3d * jxw))
             w = gather_cells(ub_s, self.n)
@@ -264,7 +270,7 @@ class LaplaceOperator:
             y = fv - self._from_quad_t(acc)
             return scatter_cells(y, self.n)  # [w, Y, X]
 
-        slabs = jax.lax.map(body, (fq, ub))
+        slabs = jnp.stack([body(fq[s], ub[s]) for s in range(S)])
         b = scatter_axis(slabs, 0)
         return jnp.where(self.interior, b, 0)
 
@@ -287,13 +293,14 @@ class LaplaceOperator:
         if use_df64:
             from .df64 import sum_f64
 
-        def body(args):
-            u_s, eq_s = args
+        def body(u_s, eq_s):
             uq = self._to_quad(gather_cells(u_s, self.n))
             sq = (uq - eq_s) ** 2 * jxw
             return sum_f64(sq) if use_df64 else jnp.sum(sq)
 
-        errs = jax.lax.map(body, (uw, eq))
+        # unrolled like compute_rhs_chunked: f64 einsums inside lax.map
+        # bodies lose accuracy on XLA:TPU (see there)
+        errs = jnp.stack([body(uw[s], eq[s]) for s in range(S)])
         err = jnp.sum(errs)
         vol = float(np.prod(exact_quad.shape)) / self.w3d.size * float(
             np.asarray(self.w3d, np.float64).sum()

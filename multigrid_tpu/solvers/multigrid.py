@@ -302,42 +302,66 @@ class MultigridSolver:
         sol = self._fmg_jit(self.rhs, self.u_bc)
         return jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
 
+    def _l2_error_fn(self, level):
+        g = self.grids[level]
+        return (self.ops_dp[level].l2_error_chunked
+                if g.dim == 3 and g.n_dofs > 4_000_000
+                else self.ops_dp[level].l2_error)
+
     def solve_analyze(self):
         """FMG with per-level residual/error reporting
         (multigrid_solver.h:404-475, do_analyze branch).  Returns
-        (solution, per-level dict list, v-cycle reduction rate)."""
+        (solution, per-level dict list, v-cycle reduction rate).
+
+        ONE jitted program computes everything in-graph — a farm of
+        separately-jitted per-level pieces accumulates executables (and
+        their reserved arenas) on the device backend and exhausts HBM at
+        the flagship sizes."""
+        if "analyze" not in self._misc_jits:
+
+            def analyzed(rhs, u_bc, exact_quads):
+                d0 = rhs[0].astype(self.v_dtype)
+                t = self.v_cycle(0, d0, 1)
+                t = self.smoothers[0].step(t, d0)
+                sol = t.astype(self.f_dtype)
+                stats = []
+                for l in range(1, self.maxlevel + 1):
+                    sol_bc = jnp.where(self.bmask[l - 1], u_bc[l - 1], sol)
+                    sol = self._constrain(
+                        l, self.transfers_nobc[l].prolongate(sol_bc))
+                    u_full = jnp.where(self.bmask[l], u_bc[l], sol)
+                    err_start = self._l2_error_fn(l)(u_full, exact_quads[l])
+                    sol = jnp.where(self.bmask[l], 0.0, sol)
+                    res = self.dp_ops[l].vmult_residual(rhs[l], sol)
+                    res_start = norm_f64(res)
+                    upd = self.v_cycle(l, res.astype(self.v_dtype),
+                                       self.n_cycles)
+                    sol = sol + upd.astype(self.f_dtype)
+                    res_end = norm_f64(
+                        self.dp_ops[l].vmult_residual(rhs[l], sol))
+                    u_full = jnp.where(self.bmask[l], u_bc[l], sol)
+                    err_end = self._l2_error_fn(l)(u_full, exact_quads[l])
+                    stats.append((err_start, res_start, res_end, err_end))
+                return sol, stats
+
+            self._misc_jits["analyze"] = jax.jit(analyzed)
+
+        eq = [self.exact_on_quad(l) for l in range(self.maxlevel + 1)]
+        sol, stats = self._misc_jits["analyze"](self.rhs, self.u_bc, eq)
         report = []
-        sol = None
-        d0 = self.rhs[0].astype(self.v_dtype)
-        coarse = self._vcycle_jit(0, 1)
-        t = coarse(d0)
-        t = jax.jit(self.smoothers[0].step)(t, d0)
-        sol = t.astype(self.f_dtype)
         reduction = 1.0
-        for l in range(1, self.maxlevel + 1):
-            sol_bc = jnp.where(self.bmask[l - 1], self.u_bc[l - 1], sol)
-            sol = jax.jit(self.transfers_nobc[l].prolongate)(sol_bc)
-            err_start = self.l2_error(l, sol)
-            sol = jnp.where(self.bmask[l], 0.0, sol)
-            res = self._residual_jit(l)(self.rhs[l], sol)
-            res_start = float(norm_f64(res))
-            upd = self._vcycle_jit(l, self.n_cycles)(res.astype(self.v_dtype))
-            sol = sol + upd.astype(self.f_dtype)
-            res_end = float(
-                norm_f64(self._residual_jit(l)(self.rhs[l], sol))
-            )
-            err_end = self.l2_error(l, sol)
-            reduction = (res_end / res_start) ** (1.0 / self.n_cycles)
+        for l, (e0, r0, r1, e1) in enumerate(stats, start=1):
+            reduction = (float(r1) / float(r0)) ** (1.0 / self.n_cycles)
             report.append(
-                dict(
-                    level=l,
-                    error_start=float(err_start),
-                    residual_start=res_start,
-                    residual_end=res_end,
-                    error_end=float(err_end),
-                    reduction=reduction,
-                )
+                dict(level=l, error_start=float(e0), residual_start=float(r0),
+                     residual_end=float(r1), error_end=float(e1),
+                     reduction=reduction)
             )
+        # keep only the finest level's exact-values cache (the sub-level
+        # arrays are analysis-only and crowd HBM at the flagship size)
+        self._exact_quad_cache = {
+            self.maxlevel: self._exact_quad_cache[self.maxlevel]
+        }
         solution = jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
         return solution, report, reduction
 
