@@ -1,8 +1,15 @@
-"""Benchmark: dp matvec throughput of the flagship poisson_cube operator.
+"""Benchmark: flagship poisson_cube FMG solve (the reference's headline).
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: 8.7355e8 DoFs/s dp matvec, FE_Q(4) 3-D, 135M DoF, 12-core
-Broadwell (/root/reference/README.md:124, BASELINE.md).
+
+Headline metric: full mixed-precision FMG solve throughput (DoFs/s) on the
+largest ladder size that fits one chip — the reference solves the
+135,005,697-dof FE_Q(4) problem in 3.6128 s on 12-core Broadwell
+(/root/reference/README.md:159, BASELINE.md).  vs_baseline is the wall-time
+ratio against the reference's measured FMG time AT THE SAME SIZE, so
+fallback sizes stay comparable.  Secondary dp-matvec numbers go to stderr.
+
+Env knobs: BENCH_SIZES ("128 112 96 80 64"), BENCH_METRIC=fmg|matvec.
 """
 
 import json
@@ -12,98 +19,90 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_DOFS_PER_S = 8.7355e8
+# reference FMG wall times per ladder size (README.md:136-159, 12-core)
+REF_FMG_SECONDS = {
+    40: 0.1151, 48: 0.1906, 56: 0.3182, 64: 0.4564,
+    80: 0.9125, 96: 1.538, 112: 2.452, 128: 3.613,
+}
+REF_MV_DOFS_PER_S = 8.7355e8   # dp matvec at 135M dofs (README.md:124)
 
 
-def main():
+def bench_fmg(size: int):
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
     import numpy as np
 
-    from multigrid_tpu.mesh.brick import DofGrid, poisson_cube_mesh
-    from multigrid_tpu.ops.laplace_dense import DenseLaplaceOzakiChunked
+    from experiments.poisson_cube import build_solver
+    from multigrid_tpu.mesh.brick import poisson_cube_mesh
 
-    degree = 4
-    # pick the largest ladder size that fits comfortably in one chip's HBM
-    # 128 = the reference's flagship 135M-dof case (README.md:124)
-    sizes = [int(s) for s in os.environ.get("BENCH_SIZES", "128 96 64").split()]
+    mesh = poisson_cube_mesh(size)
+    t0 = time.perf_counter()
+    solver = build_solver(mesh, 4)
+    print(f"# setup({size}): {time.perf_counter()-t0:.1f} s", file=sys.stderr)
+    n_dofs = solver.grids[solver.maxlevel].n_dofs
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sol = solver.solve()
+        sol.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    # secondary: dp matvec on the same operator
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        solver.grids[solver.maxlevel].shape), jnp.float64)
+    solver.do_matvec(x).block_until_ready()
+    n_rep = 10
+    best_mv = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_rep):
+            y = solver.do_matvec(x)
+        y.block_until_ready()
+        best_mv = min(best_mv, (time.perf_counter() - t0) / n_rep)
+    print(f"# fmg({size}): {n_dofs} DoFs in {best:.4f} s "
+          f"(ref {REF_FMG_SECONDS.get(size, float('nan')):.4f} s); "
+          f"dp matvec {best_mv:.5f} s = {n_dofs/best_mv:.4g} DoFs/s "
+          f"({n_dofs/best_mv/REF_MV_DOFS_PER_S:.2f}x ref mv baseline)",
+          file=sys.stderr)
+    return dict(size=size, dofs=n_dofs, fmg_seconds=best,
+                mv_seconds=best_mv)
+
+
+def main():
+    sizes = [int(s) for s in os.environ.get(
+        "BENCH_SIZES", "128 112 96 80 64").split()]
+    metric = os.environ.get("BENCH_METRIC", "fmg")
     result = None
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    if use_pallas:
-        # probe Mosaic availability in a subprocess: a failed Pallas compile
-        # leaks device allocations and poisons the process
-        import subprocess
-
-        probe = (
-            "import jax, jax.numpy as jnp, numpy as np, sys;"
-            "sys.path.insert(0, %r);"
-            "jax.config.update('jax_enable_x64', True);"
-            "from multigrid_tpu.mesh.brick import DofGrid, poisson_cube_mesh;"
-            "from multigrid_tpu.ops.pallas_matvec import PallasOzakiLaplace;"
-            "mesh = poisson_cube_mesh(8);"
-            "grid = DofGrid(mesh, mesh.max_level, 4);"
-            "pop = PallasOzakiLaplace(grid);"
-            "jax.jit(pop.vmult)(jnp.zeros(grid.shape)).block_until_ready();"
-            "print('PALLAS_OK')"
-        ) % os.path.dirname(os.path.abspath(__file__))
-        try:
-            r = subprocess.run([sys.executable, "-c", probe], timeout=420,
-                               capture_output=True, text=True)
-            use_pallas = "PALLAS_OK" in r.stdout
-        except Exception:
-            use_pallas = False
-        print(f"# Pallas fused kernel available: {use_pallas}", file=sys.stderr)
     for size in sizes:
         try:
-            mesh = poisson_cube_mesh(size)
-            grid = DofGrid(mesh, mesh.max_level, degree)
-            if use_pallas:
-                from multigrid_tpu.ops.pallas_matvec import PallasOzakiLaplace
-
-                op = PallasOzakiLaplace(grid)
-            else:
-                op = DenseLaplaceOzakiChunked(grid)
-            vmult = jax.jit(op.vmult)
-            x = jnp.asarray(
-                np.random.default_rng(0).standard_normal(grid.shape), jnp.float64
-            )
-            y = vmult(x)
-            y.block_until_ready()
-            n_rep = 10 if grid.n_dofs > 10_000_000 else 50
-            best = np.inf
-            for _ in range(5):
-                t0 = time.perf_counter()
-                z = x
-                for _ in range(n_rep):
-                    z = vmult(z)
-                z.block_until_ready()
-                best = min(best, (time.perf_counter() - t0) / n_rep)
-            result = dict(size=size, dofs=grid.n_dofs, seconds=best,
-                          dofs_per_s=grid.n_dofs / best)
+            result = bench_fmg(size)
             break
         except Exception as e:  # OOM etc. -> try smaller
-            print(f"size {size} failed: {e!r}", file=sys.stderr)
+            print(f"# size {size} failed: {e!r}", file=sys.stderr)
             continue
     if result is None:
-        print(json.dumps({"metric": "dp_matvec_throughput", "value": 0.0,
+        print(json.dumps({"metric": "fmg_solve_throughput", "value": 0.0,
                           "unit": "DoFs/s", "vs_baseline": 0.0}))
         return
-    print(
-        f"# dp matvec p=4: {result['dofs']} DoFs, {result['seconds']:.5f} s/matvec",
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "dp_matvec_throughput",
-                "value": result["dofs_per_s"],
-                "unit": "DoFs/s",
-                "vs_baseline": result["dofs_per_s"] / BASELINE_DOFS_PER_S,
-            }
-        )
-    )
+    if metric == "matvec":
+        print(json.dumps({
+            "metric": "dp_matvec_throughput",
+            "value": result["dofs"] / result["mv_seconds"],
+            "unit": "DoFs/s",
+            "vs_baseline": (result["dofs"] / result["mv_seconds"])
+                           / REF_MV_DOFS_PER_S,
+        }))
+        return
+    ref = REF_FMG_SECONDS.get(result["size"])
+    vs = (ref / result["fmg_seconds"]) if ref else 0.0
+    print(json.dumps({
+        "metric": "fmg_solve_throughput",
+        "value": result["dofs"] / result["fmg_seconds"],
+        "unit": "DoFs/s",
+        "vs_baseline": vs,
+    }))
 
 
 if __name__ == "__main__":

@@ -368,3 +368,49 @@ class LaplaceOperator:
         err = jnp.sum((uq - exact_quad) ** 2 * jxw)
         vol = jnp.sum(jnp.broadcast_to(jxw, uq.shape))
         return jnp.sqrt(err / vol)
+
+
+def l2_error_host(grid: DofGrid, u_np: np.ndarray, exact_fn,
+                  z_slab_cells: int = 4) -> float:
+    """Host (numpy, true fp64) volume-weighted L2 error vs the analytic
+    solution — the analysis path for flagship-size grids.
+
+    On-device dp error evaluation needs the exact solution at ~2 q^dim
+    values per dof resident in HBM plus tile-padded einsum temps; at the
+    135M-dof flagship that crowds out the solve.  Error analysis is not a
+    timed path, so it runs here in slabbed numpy instead
+    (cf. compute_l2_error, /root/reference/common/multigrid_solver.h:298-343).
+    ``u_np`` must carry its boundary values.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    assert grid.dim == 3
+    b = grid.basis
+    n, p = b.n, grid.degree
+    St = np.asarray(b.S, np.float64).T          # contract node -> quad
+    qw = np.asarray(b.quad_weights, np.float64)
+    w3 = qw[:, None, None] * qw[None, :, None] * qw[None, None, :]
+    ncz, ncy, ncx = grid.cells
+    jxw = grid.jxw_scalar
+    # per-axis quad coordinates [nc_d, q]
+    qz, qy, qx = (np.asarray(grid.axis_quads[d], np.float64) for d in range(3))
+    err = 0.0
+    for z0 in range(0, ncz, z_slab_cells):
+        cz = min(z_slab_cells, ncz - z0)
+        rows = np.asarray(u_np[z0 * p : (z0 + cz) * p + 1], np.float64)
+        # windows put the window dim LAST (stride slice on the windowed
+        # axis): [cz, Y, X, n] -> quad via @ St
+        t = sliding_window_view(rows, n, axis=0)[::p] @ St
+        t = sliding_window_view(t, n, axis=1)[:, ::p] @ St   # [cz, ncy, X, qz, qy]
+        t = sliding_window_view(t, n, axis=2)[:, :, ::p] @ St  # + [qx] last
+        # window dims appended in sweep order: [cz, ncy, ncx, qz, qy, qx]
+        coords = [
+            qz[z0 : z0 + cz].reshape(cz, 1, 1, n, 1, 1),
+            qy.reshape(1, ncy, 1, 1, n, 1),
+            qx.reshape(1, 1, ncx, 1, 1, n),
+        ]
+        exact = np.asarray(exact_fn(coords), np.float64)
+        d = t - exact
+        err += float(np.sum(d * d * w3))
+    vol = float(w3.sum()) * ncz * ncy * ncx * jxw
+    return float(np.sqrt(err * jxw / vol))

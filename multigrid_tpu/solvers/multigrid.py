@@ -302,13 +302,7 @@ class MultigridSolver:
         sol = self._fmg_jit(self.rhs, self.u_bc)
         return jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
 
-    def _l2_error_fn(self, level):
-        g = self.grids[level]
-        return (self.ops_dp[level].l2_error_chunked
-                if g.dim == 3 and g.n_dofs > 4_000_000
-                else self.ops_dp[level].l2_error)
-
-    def solve_analyze(self):
+    def solve_analyze(self, compute_errors: Optional[bool] = None):
         """FMG with per-level residual/error reporting
         (multigrid_solver.h:404-475, do_analyze branch).  Returns
         (solution, per-level dict list, v-cycle reduction rate).
@@ -316,8 +310,14 @@ class MultigridSolver:
         ONE jitted program computes everything in-graph — a farm of
         separately-jitted per-level pieces accumulates executables (and
         their reserved arenas) on the device backend and exhausts HBM at
-        the flagship sizes."""
-        if "analyze" not in self._misc_jits:
+        the flagship sizes.  ``compute_errors`` adds in-graph per-level L2
+        errors; defaults to True below 4M dofs and False above (the
+        exact-value arrays would crowd HBM — callers get the finest-level
+        error from :meth:`l2_error`, which runs on the host at scale)."""
+        if compute_errors is None:
+            compute_errors = self.grids[self.maxlevel].n_dofs <= 4_000_000
+        key = ("analyze", compute_errors)
+        if key not in self._misc_jits:
 
             def analyzed(rhs, u_bc, exact_quads):
                 d0 = rhs[0].astype(self.v_dtype)
@@ -329,8 +329,12 @@ class MultigridSolver:
                     sol_bc = jnp.where(self.bmask[l - 1], u_bc[l - 1], sol)
                     sol = self._constrain(
                         l, self.transfers_nobc[l].prolongate(sol_bc))
-                    u_full = jnp.where(self.bmask[l], u_bc[l], sol)
-                    err_start = self._l2_error_fn(l)(u_full, exact_quads[l])
+                    if compute_errors:
+                        u_full = jnp.where(self.bmask[l], u_bc[l], sol)
+                        err_start = self.ops_dp[l].l2_error(
+                            u_full, exact_quads[l])
+                    else:
+                        err_start = jnp.nan
                     sol = jnp.where(self.bmask[l], 0.0, sol)
                     res = self.dp_ops[l].vmult_residual(rhs[l], sol)
                     res_start = norm_f64(res)
@@ -339,15 +343,21 @@ class MultigridSolver:
                     sol = sol + upd.astype(self.f_dtype)
                     res_end = norm_f64(
                         self.dp_ops[l].vmult_residual(rhs[l], sol))
-                    u_full = jnp.where(self.bmask[l], u_bc[l], sol)
-                    err_end = self._l2_error_fn(l)(u_full, exact_quads[l])
+                    if compute_errors:
+                        u_full = jnp.where(self.bmask[l], u_bc[l], sol)
+                        err_end = self.ops_dp[l].l2_error(
+                            u_full, exact_quads[l])
+                    else:
+                        err_end = jnp.nan
                     stats.append((err_start, res_start, res_end, err_end))
                 return sol, stats
 
-            self._misc_jits["analyze"] = jax.jit(analyzed)
+            self._misc_jits[key] = jax.jit(analyzed)
 
-        eq = [self.exact_on_quad(l) for l in range(self.maxlevel + 1)]
-        sol, stats = self._misc_jits["analyze"](self.rhs, self.u_bc, eq)
+        eq = ([self.exact_on_quad(l) for l in range(self.maxlevel + 1)]
+              if compute_errors else
+              [jnp.zeros((), self.f_dtype)] * (self.maxlevel + 1))
+        sol, stats = self._misc_jits[key](self.rhs, self.u_bc, eq)
         report = []
         reduction = 1.0
         for l, (e0, r0, r1, e1) in enumerate(stats, start=1):
@@ -357,11 +367,6 @@ class MultigridSolver:
                      residual_end=float(r1), error_end=float(e1),
                      reduction=reduction)
             )
-        # keep only the finest level's exact-values cache (the sub-level
-        # arrays are analysis-only and crowd HBM at the flagship size)
-        self._exact_quad_cache = {
-            self.maxlevel: self._exact_quad_cache[self.maxlevel]
-        }
         solution = jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
         return solution, report, reduction
 
@@ -397,12 +402,16 @@ class MultigridSolver:
 
     # ----------------------------------------------------------- analysis
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
-        u = jnp.where(self.bmask[level], self.u_bc[level], sol)
         g = self.grids[level]
-        fn = (self.ops_dp[level].l2_error_chunked
-              if g.dim == 3 and g.n_dofs > 4_000_000
-              else self.ops_dp[level].l2_error)
-        return float(self._jit_of((level, "l2err"), fn)(
+        if g.dim == 3 and g.n_dofs > 4_000_000:
+            # analysis path at flagship sizes runs on the HOST: exact-value
+            # arrays + padded einsum temps in HBM would crowd out the solve
+            from ..ops.laplace import l2_error_host
+
+            u = jnp.where(self.bmask[level], self.u_bc[level], sol)
+            return l2_error_host(g, np.asarray(u), self._exact_fn)
+        u = jnp.where(self.bmask[level], self.u_bc[level], sol)
+        return float(self._jit_of((level, "l2err"), self.ops_dp[level].l2_error)(
             u, self.exact_on_quad(level)))
 
     def v_cycle_timed(self, level: int, defect: jnp.ndarray, n_cyc: int,

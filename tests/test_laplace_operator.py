@@ -128,3 +128,37 @@ def test_chunked_rhs_and_l2_error_match_monolithic():
         jax.jit(lambda a, b: op.l2_error_chunked(a, b, target_dofs=500))(u, eq)
     )
     assert abs(e_chk - e_ref) <= 1e-12 * max(abs(e_ref), 1e-30), (e_chk, e_ref)
+
+
+def test_l2_error_host_matches_device():
+    """Host (numpy) flagship-size analysis path == device path."""
+    import jax
+    import jax.numpy as jnp
+
+    from experiments.poisson_cube import exact_fn
+    from multigrid_tpu.mesh.brick import DofGrid, poisson_cube_mesh
+    from multigrid_tpu.ops.laplace import l2_error_host
+
+    mesh = poisson_cube_mesh(5)
+    grid = DofGrid(mesh, mesh.max_level, 3)
+    op = LaplaceOperator(grid, jnp.float64)
+    rng = np.random.default_rng(3)
+    nodes = grid.node_coords()
+    u = np.asarray(
+        np.broadcast_to(np.asarray(exact_fn(nodes), np.float64), grid.shape)
+    ) + 1e-6 * rng.standard_normal(grid.shape)
+    quads = grid.quad_coords_interleaved()
+    eq = jnp.asarray(np.asarray(exact_fn(quads), np.float64))
+    e_dev = float(jax.jit(op.l2_error)(jnp.asarray(u), eq))
+    e_host = l2_error_host(grid, u, exact_fn, z_slab_cells=2)
+    # true-f64 arbiter on the interleaved layout: the host path must match
+    # it exactly; the device path's compensated f32-pair reduction
+    # (ops/df64.sum_f64) is ~1e-8-accurate by design
+    uq = np.asarray(op.interpolate_to_quad(jnp.asarray(u)))
+    w3 = np.asarray(op.w3d, np.float64)
+    jxw = grid.jxw_scalar
+    err = np.sum((uq - np.broadcast_to(np.asarray(eq), uq.shape)) ** 2 * w3) * jxw
+    vol = np.prod(uq.shape) / w3.size * w3.sum() * jxw
+    e_ref = float(np.sqrt(err / vol))
+    assert abs(e_host - e_ref) <= 1e-12 * e_ref, (e_host, e_ref)
+    assert abs(e_dev - e_ref) <= 1e-7 * e_ref, (e_dev, e_ref)
