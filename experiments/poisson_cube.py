@@ -50,13 +50,21 @@ def build_solver(mesh: BrickMesh, degree: int, n_pre: int = 2, n_post: int = 2,
 
 def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
               n_post: int, n_fmg_repeat: int = 3, n_cg_repeat: int = 3,
-              n_matvec: int = 50, verbose: bool = True) -> dict:
+              n_matvec: int = 50, verbose: bool = True,
+              n_devices: int = 0) -> dict:
     """One row of the reference convergence table
     (/root/reference/poisson_cube/program.cc:255-401)."""
     import jax
     import jax.numpy as jnp
 
     solver = build_solver(mesh, degree, n_pre, n_post, n_cycles)
+    if n_devices > 1:
+        # domain-decomposed solves over a device mesh (GSPMD per level)
+        from multigrid_tpu.parallel.distributed import DistributedMultigrid
+        from multigrid_tpu.parallel.sharding import make_mesh
+
+        axes = ("z", "y") if n_devices >= 4 else ("z",)
+        DistributedMultigrid(solver, make_mesh(n_devices, axes))
     grid = solver.grids[solver.maxlevel]
     row = {"cells": mesh.n_cells(mesh.max_level), "dofs": grid.n_dofs}
 
@@ -121,6 +129,9 @@ def main():
     ap.add_argument("mesh", nargs="?", default="square",
                     choices=["square", "doubling"])
     ap.add_argument("--dim", type=int, default=3)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="distribute solves over this many devices "
+                         "(jax.sharding mesh; 0 = single device)")
     args = ap.parse_args()
 
     rows = []
@@ -139,7 +150,8 @@ def main():
             break
         print(f"Cycle {cycle}: {mesh.cells(mesh.max_level)} cells, {grid_dofs} dofs")
         rows.append(run_cycle(mesh, args.degree, args.n_mg_cycles,
-                              args.n_pre_smooth, args.n_post_smooth))
+                              args.n_pre_smooth, args.n_post_smooth,
+                              n_devices=args.devices))
 
     from multigrid_tpu.utils.tables import print_convergence_table
     print_convergence_table(rows, dim=args.dim)
