@@ -166,9 +166,13 @@ class DenseLaplaceF32Chunked(DenseLaplaceF32):
 
 
 # ------------------------------------------------------------------ Ozaki
-_LIMB_BITS = 7        # 2*7 + log2(6*125) < 24: f32 accumulation stays exact
-_N_LIMBS = 6          # 6*7 = 42 bits of mantissa coverage per operand
-_MAX_M = 5            # pairs with k+l <= 5: measured rel error 4e-12
+_LIMB_BITS = 7        # 2*7 + log2(7*125) < 24: f32 accumulation stays exact
+_N_LIMBS = 7          # 7*7 = 49 bits of mantissa coverage per operand
+_MAX_M = 6            # pairs with k+l <= 6: measured rel error ~2e-15.
+# 6 limbs / max_m 5 (42 bits, 4e-12) was ~25% faster but its operator
+# inexactness amplified through A^{-1} to an L2-error floor of ~1e-9 in the
+# converged CG solutions — visible against the reference transcript above
+# 33M dofs (df64 A/B at 33M: 4.3508e-9 == ref 4.351e-9; 6-limb: 4.419e-9).
 
 
 def _split_limbs_f64(K: np.ndarray, n_limbs: int):

@@ -319,6 +319,16 @@ class MultigridSolver:
         key = ("analyze", compute_errors)
         if key not in self._misc_jits:
 
+            # residual REDUCTION ratios need ~1e-7 relative accuracy, not
+            # dp: f32 norms avoid dot_f64's pair/partial-sum buffers, which
+            # push the analyzed program past HBM at the 135M flagship
+            def _norm(v):
+                if v.dtype == jnp.float64 and not compute_errors:
+                    return jnp.linalg.norm(v.astype(jnp.float32)).astype(
+                        jnp.float64)
+                return norm_f64(v) if v.dtype == jnp.float64 else (
+                    jnp.linalg.norm(v))
+
             def analyzed(rhs, u_bc, exact_quads):
                 d0 = rhs[0].astype(self.v_dtype)
                 t = self.v_cycle(0, d0, 1)
@@ -337,11 +347,11 @@ class MultigridSolver:
                         err_start = jnp.nan
                     sol = jnp.where(self.bmask[l], 0.0, sol)
                     res = self.dp_ops[l].vmult_residual(rhs[l], sol)
-                    res_start = norm_f64(res)
+                    res_start = _norm(res)
                     upd = self.v_cycle(l, res.astype(self.v_dtype),
                                        self.n_cycles)
                     sol = sol + upd.astype(self.f_dtype)
-                    res_end = norm_f64(
+                    res_end = _norm(
                         self.dp_ops[l].vmult_residual(rhs[l], sol))
                     if compute_errors:
                         u_full = jnp.where(self.bmask[l], u_bc[l], sol)
