@@ -78,6 +78,7 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     _, report, reduction = solver.solve_analyze()
     row["reduction"] = reduction
     row["fmg_L2error"] = solver.l2_error(solver.maxlevel, sol)
+    del sol  # free the dp solution before CG: every GB counts at 135M
 
     best_cg = np.inf
     for _ in range(n_cg_repeat):

@@ -6,7 +6,7 @@ final relative residual.  Implemented as a jittable ``lax.while_loop``.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -66,3 +66,53 @@ def cg_solve(
 
     x, r, p, rz, it, res = jax.lax.while_loop(cond, body, state)
     return CGResult(x=x, iterations=it, initial_norm=norm0, final_norm=res)
+
+
+def cg_solve_stepped(
+    A: Callable,
+    b: jnp.ndarray,
+    precond: Callable,
+    max_iterations: int = 1000,
+    abs_tol: float = 1e-16,
+    rtol: float = 1e-9,
+    _jit_cache: Optional[dict] = None,
+) -> CGResult:
+    """Host-stepped PCG with donated carries — the flagship-size variant.
+
+    ``lax.while_loop`` double-buffers its carry (old + new x, r, p live
+    simultaneously: +3 dp vectors = +3.2 GB at 135M dofs), which pushes the
+    V-cycle-preconditioned CG past 16 GB HBM.  Stepping the iteration from
+    the host with ``donate_argnums`` lets XLA reuse the carry buffers in
+    place; the per-iteration dispatch + scalar sync costs ~ms against
+    multi-second iterations at this size."""
+    cache = _jit_cache if _jit_cache is not None else {}
+    if "step" not in cache:
+        def step(x, r, p, rz):
+            q = A(p)
+            alpha = rz / _dot(p, q)
+            x = x + alpha * p
+            r = r - alpha * q
+            res = _norm(r)
+            z = precond(r)
+            rz_new = _dot(r, z)
+            p = z + (rz_new / rz) * p
+            return x, r, p, rz_new, res
+
+        cache["step"] = jax.jit(step, donate_argnums=(0, 1, 2))
+        cache["init"] = jax.jit(
+            lambda b: (precond(b), _norm(b)), donate_argnums=()
+        )
+    z, norm0 = cache["init"](b)
+    tol = max(abs_tol, rtol * float(norm0))
+    x = jnp.zeros_like(b)
+    r = b + 0.0   # private copy: the step donates r
+    p = z
+    rz = _dot(r, z)
+    it = 0
+    res = float(norm0)
+    while res > tol and it < max_iterations:
+        x, r, p, rz, res_d = cache["step"](x, r, p, rz)
+        res = float(res_d)
+        it += 1
+    return CGResult(x=x, iterations=jnp.asarray(it),
+                    initial_norm=norm0, final_norm=jnp.asarray(res))

@@ -390,7 +390,28 @@ class MultigridSolver:
                  max_iterations: int = 1000):
         """CG on the dp operator preconditioned by one V-cycle
         (multigrid_solver.h:483-493).  Returns (solution_with_bc, iterations,
-        reduction_per_iteration)."""
+        reduction_per_iteration).  Above ~64M dofs the iteration is stepped
+        from the host with donated carries (see cg_solve_stepped)."""
+        if self.grids[self.maxlevel].n_dofs > 64_000_000:
+            from .cg import cg_solve_stepped
+
+            if not hasattr(self, "_cg_step_cache"):
+                self._cg_step_cache = {}
+            res: CGResult = cg_solve_stepped(
+                self.dp_ops[self.maxlevel].vmult,
+                self.rhs[self.maxlevel],
+                precond=self._precond,
+                max_iterations=max_iterations,
+                abs_tol=abs_tol, rtol=rtol,
+                _jit_cache=self._cg_step_cache,
+            )
+            its = int(res.iterations)
+            red = (
+                float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
+            )
+            sol = jnp.where(self.bmask[self.maxlevel],
+                            self.u_bc[self.maxlevel], res.x)
+            return sol, its, red
         if self._cg_jit is None:
             self._cg_jit = jax.jit(
                 partial(
