@@ -110,20 +110,45 @@ def sum_f64(x: jnp.ndarray) -> jnp.ndarray:
     return _chunk_sum_to_f64(xh) + _chunk_sum_to_f64(xl)
 
 
+def _dot_f64_block(a, b):
+    ah = a.astype(jnp.float32)
+    al = (a - ah.astype(jnp.float64)).astype(jnp.float32)
+    bh = b.astype(jnp.float32)
+    bl = (b - bh.astype(jnp.float64)).astype(jnp.float32)
+    ph, pl = two_prod(ah, bh)
+    rest = pl + (ah * bl + al * bh)
+    return _chunk_sum_to_f64(ph) + _chunk_sum_to_f64(rest)
+
+
 def dot_f64(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Dot product of f64 vectors without big f64 reductions: exact f32
     pair products (two_prod) + chunked f32 sums + small f64 combine.
     Error ~1e-6 relative to sum(|a_i b_i|) — ample for CG coefficients and
     far below the discrimination needed by rtol-1e-9 convergence checks;
     the residual RECURRENCE itself stays full f64 (elementwise f64 is
-    cheap on TPU, only reductions are not)."""
-    ah = a.ravel().astype(jnp.float32)
-    al = (a.ravel() - ah.astype(jnp.float64)).astype(jnp.float32)
-    bh = b.ravel().astype(jnp.float32)
-    bl = (b.ravel() - bh.astype(jnp.float64)).astype(jnp.float32)
-    ph, pl = two_prod(ah, bh)
-    rest = pl + (ah * bl + al * bh)
-    return _chunk_sum_to_f64(ph) + _chunk_sum_to_f64(rest)
+    cheap on TPU, only reductions are not).
+
+    Above 16M elements the split/product temps (~7 full-size f32 arrays)
+    would add GBs of HBM peak inside larger programs, so the vector is
+    processed in slices chained through ``optimization_barrier`` (the data
+    dependency stops XLA from scheduling all slices' temps concurrently)."""
+    af = a.ravel()
+    bf = b.ravel()
+    n = af.size
+    limit = 16_000_000
+    if n <= limit:
+        return _dot_f64_block(af, bf)
+    n_chunks = -(-n // limit)
+    csize = -(-n // n_chunks)
+    acc = jnp.zeros((), jnp.float64)
+    for i in range(n_chunks):
+        lo = i * csize
+        hi = min(n, lo + csize)
+        s = _dot_f64_block(af[lo:hi], bf[lo:hi])
+        acc = acc + s
+        if i + 1 < n_chunks:
+            af, acc = jax.lax.optimization_barrier((af, acc))
+    return acc
 
 
 def norm_f64(a: jnp.ndarray) -> jnp.ndarray:

@@ -87,22 +87,28 @@ def cg_solve_stepped(
     multi-second iterations at this size."""
     cache = _jit_cache if _jit_cache is not None else {}
     if "step" not in cache:
+        # stopping-criterion norms in f32 (1e-7 relative is ample against a
+        # 1e-9 RELATIVE threshold); the CG coefficients rz/pq stay dp-grade
+        # via the chunked dot_f64
+        def _snorm(v):
+            return jnp.linalg.norm(v.astype(jnp.float32)).astype(v.dtype)
+
         def step(x, r, p, rz):
             q = A(p)
             alpha = rz / _dot(p, q)
             x = x + alpha * p
             r = r - alpha * q
-            res = _norm(r)
+            res = _snorm(r)
             z = precond(r)
             rz_new = _dot(r, z)
             p = z + (rz_new / rz) * p
             return x, r, p, rz_new, res
 
         cache["step"] = jax.jit(step, donate_argnums=(0, 1, 2))
-        cache["init"] = jax.jit(
-            lambda b: (precond(b), _norm(b)), donate_argnums=()
-        )
-    z, norm0 = cache["init"](b)
+        cache["norm0"] = jax.jit(_snorm)
+        cache["init"] = jax.jit(precond)
+    norm0 = cache["norm0"](b)
+    z = cache["init"](b)
     tol = max(abs_tol, rtol * float(norm0))
     x = jnp.zeros_like(b)
     r = b + 0.0   # private copy: the step donates r
