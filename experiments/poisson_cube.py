@@ -79,6 +79,12 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     row["reduction"] = reduction
     row["fmg_L2error"] = solver.l2_error(solver.maxlevel, sol)
     del sol  # free the dp solution before CG: every GB counts at 135M
+    if grid.n_dofs > 100_000_000:
+        # the CG phase touches only the finest level's rhs/u_bc; drop the
+        # sub-level setup arrays (FMG timing is done) to widen HBM headroom
+        for l in range(solver.maxlevel):
+            solver.rhs[l] = None
+            solver.u_bc[l] = None
 
     best_cg = np.inf
     for _ in range(n_cg_repeat):

@@ -225,7 +225,8 @@ class Chebyshev:
         # ``degree`` may be a traced scalar (pytree-parameterized solvers
         # pass the auto-chosen coarse degree as a jit argument so Newton
         # steps don't recompile); fori_loop accepts dynamic trip counts
-        if isinstance(self.degree, (int, np.integer)) and self.degree <= 1:
+        static_deg = isinstance(self.degree, (int, np.integer))
+        if static_deg and self.degree <= 1:
             return x
 
         def body(_, s):
@@ -238,6 +239,14 @@ class Chebyshev:
             return (x_new, x, rho_new)
 
         rho0 = jnp.asarray(de / th, x.dtype)
+        if static_deg and self.degree <= 6:
+            # unrolled: a fori_loop would double-buffer the (x, x_old)
+            # carries — two extra finest-level vectors of HBM peak at the
+            # 135M flagship for a 2-3 trip loop
+            s = (x, x_old, rho0)
+            for i in range(self.degree - 1):
+                s = body(i, s)
+            return s[0]
         x, _, _ = jax.lax.fori_loop(0, self.degree - 1, body, (x, x_old, rho0))
         return x
 
