@@ -239,14 +239,9 @@ class Chebyshev:
             return (x_new, x, rho_new)
 
         rho0 = jnp.asarray(de / th, x.dtype)
-        if static_deg and self.degree <= 6:
-            # unrolled: a fori_loop would double-buffer the (x, x_old)
-            # carries — two extra finest-level vectors of HBM peak at the
-            # 135M flagship for a 2-3 trip loop
-            s = (x, x_old, rho0)
-            for i in range(self.degree - 1):
-                s = body(i, s)
-            return s[0]
+        # NOTE: measured at the 135M flagship — the fori_loop form has a
+        # LOWER peak than unrolling (the loop carries force in-place buffer
+        # reuse that the scheduler does not reproduce on the unrolled graph)
         x, _, _ = jax.lax.fori_loop(0, self.degree - 1, body, (x, x_old, rho0))
         return x
 

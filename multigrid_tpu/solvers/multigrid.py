@@ -397,10 +397,16 @@ class MultigridSolver:
 
             if not hasattr(self, "_cg_step_cache"):
                 self._cg_step_cache = {}
+            # carry FLAT dp vectors: 3-D [513,513,513] f64 arrays pad ~27%
+            # on the (8,128) tile grid (1.27 GB instead of 1.0 GB each);
+            # 1-D layouts pad negligibly.  The operator/preconditioner
+            # reshape internally.
+            shape = self.grids[self.maxlevel].shape
+            L = self.maxlevel
             res: CGResult = cg_solve_stepped(
-                self.dp_ops[self.maxlevel].vmult,
-                self.rhs[self.maxlevel],
-                precond=self._precond,
+                lambda pf: self.dp_ops[L].vmult(pf.reshape(shape)).reshape(-1),
+                self.rhs[L].reshape(-1),
+                precond=lambda rf: self._precond(rf.reshape(shape)).reshape(-1),
                 max_iterations=max_iterations,
                 abs_tol=abs_tol, rtol=rtol,
                 _jit_cache=self._cg_step_cache,
@@ -409,8 +415,8 @@ class MultigridSolver:
             red = (
                 float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
             )
-            sol = jnp.where(self.bmask[self.maxlevel],
-                            self.u_bc[self.maxlevel], res.x)
+            sol = jnp.where(self.bmask[L], self.u_bc[L],
+                            res.x.reshape(shape))
             return sol, its, red
         if self._cg_jit is None:
             self._cg_jit = jax.jit(
