@@ -81,13 +81,23 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     del sol  # free the dp solution before CG: every GB counts at 135M
     if grid.n_dofs > 100_000_000:
         # the CG phase touches only the finest level's rhs/u_bc; drop the
-        # sub-level setup arrays (FMG timing is done) to widen HBM headroom
+        # sub-level setup arrays (FMG timing is done) and release the FMG/
+        # analyze executables (program binaries + reserved state also live
+        # in HBM on the device) to widen headroom
+        import gc
+
         for l in range(solver.maxlevel):
             solver.rhs[l] = None
             solver.u_bc[l] = None
+        solver.reset_jit_caches()
+        gc.collect()
+        jax.clear_caches()
 
     best_cg = np.inf
+    sol_cg = None
     for _ in range(n_cg_repeat):
+        sol_cg = None   # holding the previous solution across a repeat
+        #                 costs 1.27 GB of the 135M row's headroom
         t0 = time.perf_counter()
         sol_cg, its, red = solver.solve_cg()
         sol_cg.block_until_ready()
