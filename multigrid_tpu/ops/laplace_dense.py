@@ -206,16 +206,18 @@ class DenseLaplaceOzaki(_DenseBase):
         self.max_m = max_m
         sigma, limbs = _split_limbs_f64(self.K.T, n_limbs)
         self.sigma_K = sigma
-        # one block matrix: column block m accumulates all pairs k+l = m in
-        # a single MXU pass; Kbig[l-block, m-block] = K-limb (m-l)
+        # TRIANGULAR group matmuls: scale group m contracts input-limb
+        # prefix l = 0..m against K-limbs k = m-l in one MXU pass of
+        # exactly (m+1)N x N — sum of block-products over all groups is
+        # sum(m+1) = 28 for 7 limbs, vs 49 for the padded square block
+        # matrix (which spent 43% of its MACs on structural zeros)
         N = self.N
-        Kbig = np.zeros((n_limbs * N, (max_m + 1) * N), np.float32)
-        for l in range(n_limbs):
-            for m in range(max_m + 1):
-                k = m - l
-                if 0 <= k < n_limbs:
-                    Kbig[l * N : (l + 1) * N, m * N : (m + 1) * N] = limbs[k]
-        self.Kbig = jnp.asarray(Kbig, jnp.bfloat16)
+        self.K_groups = [
+            jnp.asarray(
+                np.vstack([limbs[m - l] for l in range(m + 1)]), jnp.bfloat16
+            )
+            for m in range(max_m + 1)
+        ]
 
     def _limb_split_device(self, uh, ul):
         """Per-cell scaled 7-bit limb extraction from an f32 pair [C, N]."""
@@ -238,14 +240,17 @@ class DenseLaplaceOzaki(_DenseBase):
         """[C,N] f32 pair -> [C,N] df64 pair of A_cell @ u."""
         sigma, limbs = self._limb_split_device(uh, ul)
         packed = jnp.concatenate(limbs, axis=1)          # [C, n_limbs*N]
-        Y = jnp.dot(packed, self.Kbig, preferred_element_type=jnp.float32)
         acc_h = acc_l = None
         N = self.N
         for m in range(self.max_m + 1):
+            # group m: input-limb prefix against the stacked K-limbs (see
+            # __init__); f32 accumulation stays exact per group
+            Ym = jnp.dot(packed[:, : (m + 1) * N], self.K_groups[m],
+                         preferred_element_type=jnp.float32)
             # stored limbs carry 2^{7k}/2^{7l}; the true pair scale is 2^{-7m};
             # scale by exact powers of two (per-cell sigma and group scale)
             delta = np.float32(self.sigma_K * 2.0 ** (-_LIMB_BITS * m))
-            term = Y[:, m * N : (m + 1) * N] * delta * sigma
+            term = Ym * delta * sigma
             if acc_h is None:
                 acc_h, acc_l = term, jnp.zeros_like(term)
             else:
