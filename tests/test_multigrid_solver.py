@@ -84,3 +84,30 @@ def test_mms_convergence_rates():
         errors.append(s.l2_error(s.maxlevel, sol))
     rate = np.log2(errors[0] / errors[1])
     assert rate > degree + 0.5  # optimal is p+1
+
+
+def test_stepped_cg_matches_while_loop_cg():
+    """cg_solve_stepped (host-stepped, donated carries — the 135M-dof
+    path) produces the same iterates as the lax.while_loop solver."""
+    import jax
+
+    from multigrid_tpu.solvers.cg import cg_solve, cg_solve_stepped
+
+    s = build_solver(poisson_cube_mesh(4), degree=3, n_cycles=2)
+    L = s.maxlevel
+    shape = s.grids[L].shape
+    A = s.dp_ops[L].vmult
+    res_ref = jax.jit(
+        lambda b: cg_solve(A, b, precond=s._precond, rtol=1e-9)
+    )(s.rhs[L])
+    res_step = cg_solve_stepped(
+        lambda pf: A(pf.reshape(shape)).reshape(-1),
+        s.rhs[L].reshape(-1),
+        precond=lambda rf: s._precond(rf.reshape(shape)).reshape(-1),
+        rtol=1e-9,
+    )
+    assert int(res_step.iterations) == int(res_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_step.x).reshape(shape), np.asarray(res_ref.x),
+        rtol=0, atol=1e-12,
+    )
