@@ -169,6 +169,12 @@ def main():
         rows.append(run_cycle(mesh, args.degree, args.n_mg_cycles,
                               args.n_pre_smooth, args.n_post_smooth,
                               n_devices=args.devices))
+        # drop the finished cycle's executables/buffers: accumulated device
+        # state from earlier ladder sizes otherwise OOMs the 135M setup
+        import gc
+
+        gc.collect()
+        jax.clear_caches()
 
     from multigrid_tpu.utils.tables import print_convergence_table
     print_convergence_table(rows, dim=args.dim)
