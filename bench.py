@@ -42,7 +42,10 @@ def bench_fmg(size: int):
     print(f"# setup({size}): {time.perf_counter()-t0:.1f} s", file=sys.stderr)
     n_dofs = solver.grids[solver.maxlevel].n_dofs
     best = np.inf
+    sol = None
     for _ in range(3):
+        sol = None   # never hold the previous solution while computing the
+        #              next (HBM rule, CLAUDE.md)
         t0 = time.perf_counter()
         sol = solver.solve()
         sol.block_until_ready()

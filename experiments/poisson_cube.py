@@ -69,7 +69,10 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     row = {"cells": mesh.n_cells(mesh.max_level), "dofs": grid.n_dofs}
 
     best = np.inf
+    sol = None
     for _ in range(n_fmg_repeat):
+        sol = None   # never hold the previous solution while computing the
+        #              next (HBM rule, CLAUDE.md)
         t0 = time.perf_counter()
         sol = solver.solve()
         sol.block_until_ready()

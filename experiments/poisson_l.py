@@ -1,10 +1,14 @@
 """poisson_l experiment: adaptive-mesh Poisson with a reentrant-corner
-singularity on the L-shaped domain.
+singularity on the L-shaped domain, 2-D or 3-D (``--dim 3``).
 
 Port of /root/reference/poisson_l/program.cc: 2-D hyper_L = [-1,1]^2 minus
 [0,1]^2, deal.II ``LSingularityFunction`` solution u = r^{2/3} sin(2 phi/3)
-(harmonic, f = 0, inhomogeneous Dirichlet data).  Executes the FULL
-adaptive loop (program.cc:502-543): solve -> KellyErrorEstimator ->
+(harmonic, f = 0, inhomogeneous Dirichlet data).  ``--dim 3`` runs the
+EXTRUDED L (the reference's default 3-D variant, program.cc:478-492:
+extrude_triangulation of the 2-D hyper_L with all-Dirichlet boundary; here
+the prism is L x [-1,1] so octree cells stay cubic), with true 3-D octree
+AMR — face and edge hanging nodes.  Executes the FULL adaptive loop
+(program.cc:502-543): solve -> KellyErrorEstimator ->
 refine_and_coarsen_fixed_number(0.15, 0.03) -> mesh execution with
 hanging-node constraints -> solution transfer to the new mesh, with a
 multigrid-preconditioned CG solve per cycle (global-coarsening hierarchy
@@ -30,7 +34,7 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 
-from multigrid_tpu.mesh.adaptive import AdaptiveGrid, QuadForest
+from multigrid_tpu.mesh.adaptive import AdaptiveGrid, OctForest, QuadForest
 from multigrid_tpu.ops.laplace_adaptive import AdaptiveLaplace, KellyEstimator
 from multigrid_tpu.solvers.multigrid_adaptive import (
     AdaptiveMultigridSolver,
@@ -40,12 +44,17 @@ from multigrid_tpu.solvers.multigrid_adaptive import (
 
 def exact_fn(coords):
     """deal.II Functions::LSingularityFunction (zero in the closed first
-    quadrant, which contains both reentrant edges)."""
+    quadrant, which contains both reentrant edges); z-independent in 3-D
+    (the extruded L keeps the 2-D corner singularity,
+    /root/reference/poisson_l/program.cc:85-139)."""
     x, y = np.asarray(coords[0], float), np.asarray(coords[1], float)
     phi = np.arctan2(y, -x) + np.pi
     r2 = x * x + y * y
     val = np.cbrt(np.maximum(r2, 1e-300)) * np.sin(2.0 / 3.0 * phi)
-    return np.where((x >= 0) & (y >= 0), 0.0, val)
+    out = np.where((x >= 0) & (y >= 0), 0.0, val)
+    if len(coords) == 3:     # broadcast across z
+        out = out + 0.0 * np.asarray(coords[2], float)
+    return out
 
 
 def grad_exact(coords):
@@ -58,7 +67,11 @@ def grad_exact(coords):
     gx = u_r * x / r + u_phi * (y / r2)
     gy = u_r * y / r + u_phi * (-x / r2)
     mask = (x >= 0) & (y >= 0)
-    return [np.where(mask, 0.0, gx), np.where(mask, 0.0, gy)]
+    out = [np.where(mask, 0.0, gx), np.where(mask, 0.0, gy)]
+    if len(coords) == 3:
+        z = np.asarray(coords[2], float)
+        out = [o + 0.0 * z for o in out] + [0.0 * z + 0.0 * x]
+    return out
 
 
 def rhs_fn(coords):
@@ -66,6 +79,9 @@ def rhs_fn(coords):
 
 
 def boundary_fn(xy):
+    """Dirichlet everywhere on the L(-prism) boundary
+    (/root/reference/poisson_l/program.cc:486-491: boundary_id 0 on all
+    faces of the extruded variant)."""
     x, y = xy[:, 0], xy[:, 1]
     tol = 1e-9
     on = (np.abs(x + 1) < tol) | (np.abs(y + 1) < tol)
@@ -73,12 +89,20 @@ def boundary_fn(xy):
     on |= (np.abs(y - 1) < tol) & (x <= tol)
     on |= (np.abs(x) < tol) & (y >= -tol)
     on |= (np.abs(y) < tol) & (x >= -tol)
+    if xy.shape[1] == 3:
+        z = xy[:, 2]
+        on |= (np.abs(z + 1) < tol) | (np.abs(z - 1) < tol)
     return on
 
 
-def l_forest(n_uniform: int) -> QuadForest:
-    f = QuadForest(2, -1.0, 2.0,
-                   root_mask=lambda ix, iy: not (ix == 1 and iy == 1))
+def l_forest(n_uniform: int, dim: int = 2):
+    """L-shaped base: [-1,1]^dim minus the (x>0, y>0) quadrant/column."""
+    if dim == 2:
+        f = QuadForest(2, -1.0, 2.0,
+                       root_mask=lambda ix, iy: not (ix == 1 and iy == 1))
+    else:
+        f = OctForest(2, -1.0, 2.0,
+                      root_mask=lambda ix, iy, iz: not (ix == 1 and iy == 1))
     for _ in range(n_uniform):
         f = f.uniform_refine()
     return f
@@ -117,14 +141,16 @@ def run_cycle(forest, degree, rtol=1e-9):
     solve_t = time.perf_counter() - t0
     g = grids[-1]
     op = s.op_dp
+    dim = g.dim
     # deal.II-style absolute norms (integrate_difference, program.cc:557-578)
     qxy = op.quad_points()
+    qc = [qxy[..., d] for d in range(dim)]
     uq = op._to_quad(op.gather(sol)).reshape(-1, op.N)
-    ex = np.asarray(exact_fn([qxy[..., 0], qxy[..., 1]]))
-    jxw = np.asarray(op.w2d) * (np.asarray(g.cell_h)[:, None] ** 2)
+    ex = np.asarray(exact_fn(qc))
+    jxw = np.asarray(op.jxw())
     val_l2 = float(np.sqrt((((np.asarray(uq) - ex) ** 2) * jxw).sum()))
-    gex = grad_exact([qxy[..., 0].reshape(-1, op.n, op.n),
-                      qxy[..., 1].reshape(-1, op.n, op.n)])
+    qshape = (-1,) + (op.n,) * dim
+    gex = grad_exact([qxy[..., d].reshape(qshape) for d in range(dim)])
     grad_l2 = float(s.op_dp.h1_seminorm_error(sol, gex))
     eta2 = KellyEstimator(op)(sol)
     return dict(cells=g.n_cells, dofs=g.n_dofs, constraints=g.n_constraints,
@@ -137,8 +163,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("cycles", type=int, nargs="?", default=8)
     ap.add_argument("--degree", type=int, default=2)
-    ap.add_argument("--initial", type=int, default=3,
-                    help="uniform refinements of the 3-cell base (ref: 5)")
+    ap.add_argument("--dim", type=int, default=2, choices=(2, 3),
+                    help="3 = extruded-L octree AMR (program.cc:478-492)")
+    ap.add_argument("--initial", type=int, default=None,
+                    help="uniform refinements of the L base (ref: 5 in 2-D, "
+                         "3 in 3-D; default here 3 / 1)")
     ap.add_argument("--top-fraction", type=float, default=0.15)
     ap.add_argument("--bottom-fraction", type=float, default=0.03)
     ap.add_argument("--max-dofs", type=int, default=2_000_000)
@@ -146,7 +175,9 @@ def main():
                     help="uniform refinement instead of adaptive")
     args = ap.parse_args()
 
-    forest = l_forest(args.initial)
+    if args.initial is None:
+        args.initial = 3 if args.dim == 2 else 1
+    forest = l_forest(args.initial, args.dim)
     rows = []
     prev = None  # (solver, solution) for the transfer demonstration
     for cycle in range(args.cycles):

@@ -1,31 +1,36 @@
-"""Adaptive quadtree mesh with hanging-node constraints (2-D).
+"""Adaptive forest meshes with hanging-node constraints (2-D quadtree and
+3-D octree).
 
 TPU-native replacement for the p4est + AffineConstraints + SolutionTransfer
 machinery the reference's poisson_l uses
 (/root/reference/poisson_l/program.cc:232-243, 504-543):
 
-* a forest of active cells ``(level, ix, iy)`` on a square root lattice with
-  a domain mask (the L-domain drops the first-quadrant root cell), 2:1
-  balanced, with ``refine_and_coarsen_fixed_number`` execution;
+* a forest of active cells ``(level, ix, iy[, iz])`` on a cubic root lattice
+  with a domain mask (the L-domain drops the first-quadrant root column),
+  2:1 balanced, with ``refine_and_coarsen_fixed_number`` execution;
 * FE_Q(p) dofs identified by robust coordinate hashing; hanging nodes on
-  2:1 faces are eliminated at setup: every cell-local node becomes a short
-  (dof, weight) list, so the constrained operator C^T A_loc C is just
-  weighted-gather -> batched cell matmul -> weighted scatter-add — no
-  runtime constraint pass at all (the TPU analogue of
-  vector_access_reduced.h's "constraints inside the index table" idea);
+  2:1 interfaces (faces AND, in 3-D, edges) are eliminated at setup with a
+  single geometric rule — a node is constrained iff the COARSEST active
+  cell containing it is coarser than every cell owning it as a node, and
+  its masters are the tensor-Lagrange interpolation of that coarse cell at
+  the node's position.  Every cell-local node becomes a short (dof, weight)
+  list, so the constrained operator C^T A_loc C is just weighted-gather ->
+  batched cell matmul -> weighted scatter-add — no runtime constraint pass
+  at all (the TPU analogue of vector_access_reduced.h's "constraints inside
+  the index table" idea);
 * nested-mesh interpolation between AMR cycles (deal.II SolutionTransfer +
   MGTransferGlobalCoarsening): each dof of the fine mesh is a point
   evaluation of the coarse mesh — one gather matrix per mesh pair.
 
-Cells are axis-aligned squares: level l has size h = L0 / 2^l.  In 2-D the
-element stiffness is scale-invariant, so ALL active cells — any level —
-batch into a single dense-element matmul.
+Cells are axis-aligned cubes: level l has size h = L0 / 2^l.  Cells of all
+levels batch into a single dense-element matmul; the 3-D element stiffness
+scales as h^(dim-2) per cell (scale-free in 2-D).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import cached_property
+from dataclasses import dataclass
+from itertools import product
 
 import numpy as np
 
@@ -34,27 +39,47 @@ from ..core.basis import Basis1D, make_basis
 
 @dataclass(frozen=True)
 class Cell:
+    """Forest cell; ``iz`` is None in 2-D (axis order x, y[, z])."""
+
     level: int
     ix: int
     iy: int
+    iz: int | None = None
+
+    @property
+    def dim(self) -> int:
+        return 2 if self.iz is None else 3
+
+    @property
+    def coords(self) -> tuple[int, ...]:
+        return (self.ix, self.iy) if self.iz is None else (self.ix, self.iy, self.iz)
+
+    @staticmethod
+    def of(level: int, coords) -> "Cell":
+        return Cell(level, *coords) if len(coords) == 3 else Cell(
+            level, coords[0], coords[1])
 
     def children(self):
-        x, y = 2 * self.ix, 2 * self.iy
-        return [Cell(self.level + 1, x + dx, y + dy)
-                for dy in (0, 1) for dx in (0, 1)]
+        base = tuple(2 * c for c in self.coords)
+        out = []
+        for offs in product((0, 1), repeat=self.dim):
+            out.append(Cell.of(self.level + 1,
+                               tuple(b + o for b, o in zip(base, offs))))
+        return out
 
     @property
     def parent(self):
-        return Cell(self.level - 1, self.ix // 2, self.iy // 2)
+        return Cell.of(self.level - 1, tuple(c // 2 for c in self.coords))
 
 
-class QuadForest:
-    """Active-cell set over a ``root x root`` base lattice on
-    ``[origin, origin+extent]^2`` with an optional root mask."""
+class Forest:
+    """Active-cell set over a ``root^dim`` base lattice on
+    ``[origin, origin+extent]^dim`` with an optional root mask."""
+
+    dim = 2
 
     def __init__(self, root_cells: int = 2, origin: float = -1.0,
-                 extent: float = 2.0, active=None,
-                 root_mask=None):
+                 extent: float = 2.0, active=None, root_mask=None):
         self.root_cells = root_cells
         self.origin = origin
         self.extent = extent
@@ -62,10 +87,15 @@ class QuadForest:
             self.active = set(active)
         else:
             self.active = set()
-            for iy in range(root_cells):
-                for ix in range(root_cells):
-                    if root_mask is None or root_mask(ix, iy):
-                        self.active.add(Cell(0, ix, iy))
+            for coords in product(range(root_cells), repeat=self.dim):
+                if root_mask is None or root_mask(*coords):
+                    self.active.add(Cell.of(0, coords))
+
+    def _make(self, active) -> "Forest":
+        f = type(self).__new__(type(self))
+        Forest.__init__(f, self.root_cells, self.origin, self.extent,
+                        active=active)
+        return f
 
     # ------------------------------------------------------------ geometry
     def h(self, level: int) -> float:
@@ -73,15 +103,13 @@ class QuadForest:
 
     def cell_corner(self, c: Cell):
         h = self.h(c.level)
-        return (self.origin + c.ix * h, self.origin + c.iy * h)
+        return tuple(self.origin + i * h for i in c.coords)
 
     # ----------------------------------------------------------- structure
     def exists(self, c: Cell) -> bool:
         return c in self.active
 
     def _covered(self, c: Cell) -> bool:
-        """True if c or an ancestor is active (c's region is resolved at a
-        coarser-or-equal level)."""
         while c.level >= 0:
             if c in self.active:
                 return True
@@ -91,12 +119,11 @@ class QuadForest:
     def neighbor(self, c: Cell, d: int, side: int):
         """Neighbor cell coordinates at the same level (may not be active)."""
         n = self.root_cells << c.level
-        dx = (1 if side else -1) if d == 0 else 0
-        dy = (1 if side else -1) if d == 1 else 0
-        ix, iy = c.ix + dx, c.iy + dy
-        if not (0 <= ix < n and 0 <= iy < n):
+        coords = list(c.coords)
+        coords[d] += 1 if side else -1
+        if not (0 <= coords[d] < n):
             return None
-        return Cell(c.level, ix, iy)
+        return Cell.of(c.level, coords)
 
     @property
     def ancestors(self):
@@ -122,7 +149,6 @@ class QuadForest:
             return ("boundary", None)
         if nb in self.active:
             return ("same", nb)
-        # coarser?
         a = nb.parent
         while a.level >= 0:
             if a in self.active:
@@ -130,12 +156,11 @@ class QuadForest:
             a = a.parent
         if nb not in self.ancestors:
             return ("boundary", None)   # void region (e.g. the L's quadrant)
-        # finer: the two children of nb touching the shared face
+        # finer: the 2^(dim-1) children of nb touching the shared face
         out = []
         face_side = 1 - side  # children's face facing back to c
         for k in nb.children():
-            on_face = (k.ix % 2 == face_side) if d == 0 else (k.iy % 2 == face_side)
-            if not on_face:
+            if k.coords[d] % 2 != face_side:
                 continue
             if k not in self.active:
                 # deeper than one level is excluded by 2:1 balance
@@ -144,7 +169,7 @@ class QuadForest:
         return ("fine", out)
 
     # ----------------------------------------------------------- refinement
-    def balanced_copy(self) -> "QuadForest":
+    def balanced_copy(self) -> "Forest":
         """Enforce 2:1 face balance by refining offending coarse cells.
 
         Uses the ancestor set: ``q in anc`` iff an active cell lies STRICTLY
@@ -152,6 +177,7 @@ class QuadForest:
         is: a shared-face child of the neighbor is itself in ``anc``.
         """
         active = set(self.active)
+        dim = self.dim
         while True:
             anc = set()
             for a in active:
@@ -164,31 +190,27 @@ class QuadForest:
             to_refine = set()
             for c in active:
                 n = self.root_cells << c.level
-                for d in (0, 1):
+                for d in range(dim):
                     for side in (0, 1):
-                        dx = (1 if side else -1) if d == 0 else 0
-                        dy = (1 if side else -1) if d == 1 else 0
-                        ix, iy = c.ix + dx, c.iy + dy
-                        if not (0 <= ix < n and 0 <= iy < n):
+                        coords = list(c.coords)
+                        coords[d] += 1 if side else -1
+                        if not (0 <= coords[d] < n):
                             continue
-                        nb = Cell(c.level, ix, iy)
+                        nb = Cell.of(c.level, coords)
                         if nb not in anc:
                             continue
                         face_side = 1 - side
                         for k in nb.children():
-                            on_face = ((k.ix % 2 == face_side) if d == 0
-                                       else (k.iy % 2 == face_side))
-                            if on_face and k in anc:
+                            if k.coords[d] % 2 == face_side and k in anc:
                                 to_refine.add(c)
             if not to_refine:
                 break
             for c in to_refine:
                 active.discard(c)
                 active.update(c.children())
-        return QuadForest(self.root_cells, self.origin, self.extent,
-                          active=active)
+        return self._make(active)
 
-    def refine(self, marks_refine, marks_coarsen=()) -> "QuadForest":
+    def refine(self, marks_refine, marks_coarsen=()) -> "Forest":
         """Execute refinement/coarsening marks; returns a balanced forest
         (deal.II refine_and_coarsen + execute, program.cc:533-540)."""
         marks_refine = set(marks_refine)
@@ -204,17 +226,16 @@ class QuadForest:
             if c in active and c.level > 0:
                 by_parent.setdefault(c.parent, []).append(c)
         for parent, kids in by_parent.items():
-            if len(kids) == 4:
+            if len(kids) == 2 ** self.dim:
                 for k in kids:
                     active.discard(k)
                 active.add(parent)
-        f = QuadForest(self.root_cells, self.origin, self.extent, active=active)
-        return f.balanced_copy()
+        return self._make(active).balanced_copy()
 
-    def uniform_refine(self) -> "QuadForest":
+    def uniform_refine(self) -> "Forest":
         return self.refine(list(self.active))
 
-    def coarsen_global(self) -> "QuadForest":
+    def coarsen_global(self) -> "Forest":
         """One global h-coarsening step (deal.II MGTransferGlobalCoarsening
         ladder): every active cell is replaced by its parent, overlaps are
         resolved toward the finer cell, and the result is re-balanced.  The
@@ -239,95 +260,164 @@ class QuadForest:
             for c in offending:
                 work.discard(c)
                 work.update(c.children())
-        f = QuadForest(self.root_cells, self.origin, self.extent, active=work)
-        return f.balanced_copy()
+        return self._make(work).balanced_copy()
 
     @property
     def n_cells(self) -> int:
         return len(self.active)
 
     def sorted_cells(self):
-        return sorted(self.active, key=lambda c: (c.level, c.iy, c.ix))
+        return sorted(self.active,
+                      key=lambda c: (c.level,) + tuple(reversed(c.coords)))
+
+    @property
+    def max_active_level(self) -> int:
+        return max(c.level for c in self.active)
+
+
+class QuadForest(Forest):
+    """2-D forest (back-compat name)."""
+
+    dim = 2
+
+
+class OctForest(Forest):
+    """3-D forest of octree cells."""
+
+    dim = 3
 
 
 class AdaptiveGrid:
-    """FE_Q(p) dof layout on a QuadForest: unique dofs, hanging constraints
+    """FE_Q(p) dof layout on a Forest: unique dofs, hanging constraints
     folded into per-cell (index, weight) gathers, Dirichlet mask."""
 
-    def __init__(self, forest: QuadForest, degree: int, boundary_fn):
+    def __init__(self, forest: Forest, degree: int, boundary_fn):
         self.forest = forest
         self.degree = degree
+        self.dim = forest.dim
+        dim = self.dim
         self.basis: Basis1D = make_basis(degree)
         p = degree
         n = p + 1
         self.n = n
+        N = n ** dim
+        self.N = N
         cells = forest.sorted_cells()
         self.cells = cells
         self.cell_index = {c: i for i, c in enumerate(cells)}
         nodes1 = self.basis.nodes  # on [0,1]
 
-        # ---- 1. all cell-local node coordinates, robust dedup
+        # ---- 1. all cell-local node coordinates, robust dedup.  Local
+        # lexicographic order is (i_{dim-1}, ..., i_1, i_0) -> slowest
+        # axis LAST in the coordinate tuple (2-D: [iy, ix]; 3-D: [iz, iy, ix])
         C = len(cells)
-        coords = np.empty((C, n, n, 2))
-        for ci, c in enumerate(cells):
-            h = forest.h(c.level)
-            x0, y0 = forest.cell_corner(c)
-            xs = x0 + h * nodes1
-            ys = y0 + h * nodes1
-            coords[ci, :, :, 0] = xs[None, :]
-            coords[ci, :, :, 1] = ys[:, None]
-        flat = coords.reshape(-1, 2)
+        corners = np.array([forest.cell_corner(c) for c in cells])  # [C, dim]
+        hs = np.array([forest.h(c.level) for c in cells])           # [C]
+        coords = np.empty((C, N, dim))
+        for d in range(dim):
+            shape = [1] * dim
+            shape[dim - 1 - d] = n        # axis d varies along local dim-1-d
+            ax = nodes1.reshape(shape)
+            local = np.broadcast_to(ax, (n,) * dim).reshape(N)
+            coords[:, :, d] = corners[:, None, d] + hs[:, None] * local[None, :]
+        flat = coords.reshape(-1, dim)
         from . import native
 
         scale = np.abs(flat).max() + 1.0
-        n_nodes, inverse = native.unique_nodes(flat, 1e-12 * scale)
-        cell_nodes = inverse.reshape(C, n * n)   # local (iy, ix) lex order
-        node_xy = np.zeros((n_nodes, 2))
+        tol = 1e-12 * scale
+        n_nodes, inverse = native.unique_nodes(flat, tol)
+        cell_nodes = inverse.reshape(C, N)
+        node_xy = np.zeros((n_nodes, dim))
         node_xy[inverse] = flat
 
-        # ---- 2. hanging constraints: fine-face nodes on a coarser neighbor
-        # constraint: node -> list[(master_node, weight)]
+        # ---- 2. hanging constraints, geometric rule.  For every node find
+        # the COARSEST active cell whose closure contains it; the node is
+        # constrained iff that cell is strictly coarser than every cell
+        # owning the node (then it lies on a 2:1 interface — a face node,
+        # or in 3-D also an edge node — and its masters are the coarse
+        # cell's tensor-Lagrange interpolation at the node's position).
+        min_owner_level = np.full(n_nodes, 10**9, np.int64)
+        lvls = np.array([c.level for c in cells])
+        np.minimum.at(min_owner_level, cell_nodes.reshape(-1),
+                      np.repeat(lvls, N))
+
+        # per-level active-cell code sets for vectorized containment lookup
+        levels_present = sorted({c.level for c in cells})
+        origin = forest.origin
+
+        def encode(level, idx):  # idx: [M, dim] int
+            nmax = forest.root_cells << level
+            code = idx[:, 0]
+            for d in range(1, dim):
+                code = code * nmax + idx[:, d]
+            return code
+
+        level_codes = {}
+        for lvl in levels_present:
+            arr = np.array([c.coords for c in cells if c.level == lvl],
+                           np.int64)
+            idx_map = {tuple(r): self.cell_index[Cell.of(lvl, r)]
+                       for r in map(tuple, arr)}
+            codes = encode(lvl, arr)
+            order = np.argsort(codes)
+            cidx = np.array([idx_map[tuple(r)] for r in arr[order]], np.int64)
+            level_codes[lvl] = (codes[order], cidx)
+
+        containing = np.full(n_nodes, -1, np.int64)   # cell index
+        containing_level = np.full(n_nodes, -1, np.int64)
+        eps = tol
+        for lvl in levels_present:
+            undecided = containing < 0
+            if not undecided.any():
+                break
+            pts = node_xy[undecided]
+            h = forest.h(lvl)
+            nmax = forest.root_cells << lvl
+            lo = np.clip(np.floor((pts - origin - eps) / h), 0, nmax - 1
+                         ).astype(np.int64)
+            hi = np.clip(np.floor((pts - origin + eps) / h), 0, nmax - 1
+                         ).astype(np.int64)
+            found = np.full(pts.shape[0], -1, np.int64)
+            codes_sorted, cidx_sorted = level_codes[lvl]
+            for combo in product((0, 1), repeat=dim):
+                cand = np.where(np.array(combo)[None, :] > 0, hi, lo)
+                code = encode(lvl, cand)
+                pos = np.searchsorted(codes_sorted, code)
+                pos = np.clip(pos, 0, codes_sorted.size - 1)
+                hit = (codes_sorted[pos] == code) & (found < 0)
+                found[hit] = cidx_sorted[pos[hit]]
+            sel = np.nonzero(undecided)[0][found >= 0]
+            containing[sel] = found[found >= 0]
+            containing_level[sel] = lvl
+
+        is_constrained = (containing >= 0) & (containing_level
+                                              < min_owner_level)
+        constrained_ids = np.nonzero(is_constrained)[0]
+
+        # masters by tensor-Lagrange interpolation in the containing cell
         constraints = {}
-        for ci, c in enumerate(cells):
-            loc = cell_nodes[ci].reshape(n, n)
-            for d in (0, 1):
-                for side in (0, 1):
-                    kind, nb = forest.find_active_neighbor(c, d, side)
-                    if kind != "coarse":
-                        continue
-                    nbi = self.cell_index[nb]
-                    nb_loc = cell_nodes[nbi].reshape(n, n)
-                    # fine face nodes (along the face) of c
-                    if d == 0:
-                        fine_ids = loc[:, -1 if side else 0]
-                    else:
-                        fine_ids = loc[-1 if side else 0, :]
-                    # coarse face nodes of nb (facing back)
-                    if d == 0:
-                        coarse_ids = nb_loc[:, 0 if side else -1]
-                    else:
-                        coarse_ids = nb_loc[0 if side else -1, :]
-                    # parametric positions of fine nodes on the coarse face
-                    t = d ^ 1  # tangential axis
-                    hf = forest.h(c.level)
-                    hc = forest.h(nb.level)
-                    x0f = forest.cell_corner(c)[t]
-                    x0c = forest.cell_corner(nb)[t]
-                    pos = (x0f + hf * nodes1 - x0c) / hc
-                    W = self._lagrange_at(pos)   # [n fine nodes, n coarse]
-                    for a in range(n):
-                        fid = fine_ids[a]
-                        if fid in constraints:
-                            continue
-                        if any(fid == m for m in coarse_ids):
-                            continue  # coincides with a coarse node
-                        constraints[fid] = [
-                            (int(coarse_ids[m]), float(W[a, m]))
-                            for m in range(n) if abs(W[a, m]) > 1e-14
-                        ]
+        for nid in constrained_ids:
+            ci = int(containing[nid])
+            cc = cells[ci]
+            h = forest.h(cc.level)
+            corner = corners[ci]
+            t = (node_xy[nid] - corner) / h
+            wd = [self._lagrange_at(np.array([t[d]]))[0] for d in range(dim)]
+            # local index order: slowest axis = coordinate dim-1
+            masters = []
+            loc = cell_nodes[ci].reshape((n,) * dim)
+            rng = [range(n)] * dim
+            for mi in product(*rng):    # mi = (i_{dim-1}, ..., i_0)
+                w = 1.0
+                for d in range(dim):
+                    w *= wd[d][mi[dim - 1 - d]]
+                if abs(w) > 1e-14:
+                    masters.append((int(loc[mi]), float(w)))
+            constraints[int(nid)] = masters
+
         # resolve chains (a master may itself be constrained)
         def resolve(nid, depth=0):
-            if nid not in constraints or depth > 4:
+            if nid not in constraints or depth > 8:
                 return [(nid, 1.0)]
             out = {}
             for m, w in constraints[nid]:
@@ -338,9 +428,6 @@ class AdaptiveGrid:
         resolved = {nid: resolve(nid) for nid in constraints}
 
         # ---- 3. renumber real dofs (unconstrained nodes)
-        is_constrained = np.zeros(n_nodes, bool)
-        for nid in resolved:
-            is_constrained[nid] = True
         real_of_node = -np.ones(n_nodes, np.int64)
         real_ids = np.nonzero(~is_constrained)[0]
         real_of_node[real_ids] = np.arange(real_ids.size)
@@ -354,13 +441,13 @@ class AdaptiveGrid:
             row = []
             for nid in cell_nodes[ci]:
                 if is_constrained[nid]:
-                    lst = [(int(real_of_node[m]), w) for m, w in resolved[nid]]
+                    lst = [(int(real_of_node[m]), w)
+                           for m, w in resolved[int(nid)]]
                 else:
                     lst = [(int(real_of_node[nid]), 1.0)]
                 Kmax = max(Kmax, len(lst))
                 row.append(lst)
             per_node.append(row)
-        N = n * n
         self.K = Kmax
         self.gidx = np.zeros((C, N, Kmax), np.int32)
         self.gw = np.zeros((C, N, Kmax))
@@ -374,7 +461,7 @@ class AdaptiveGrid:
         self.boundary = np.asarray(boundary_fn(self.dof_xy), bool)
         self.n_cells = C
         self.cell_levels = np.array([c.level for c in cells])
-        self.cell_h = np.array([forest.h(c.level) for c in cells])
+        self.cell_h = hs
         self.n_constraints = int(is_constrained.sum())
 
     def _lagrange_at(self, pts):
@@ -394,7 +481,7 @@ class AdaptiveGrid:
         function at every real dof position of THIS grid (SolutionTransfer /
         global-coarsening prolongation; meshes must be nested)."""
         n = self.n
-        nodes1 = self.basis.nodes
+        dim = self.dim
         f = coarse.forest
         idx_rows, w_rows = [], []
         K2 = 0
@@ -402,26 +489,25 @@ class AdaptiveGrid:
             c = self._locate(f, xy)
             ci = coarse.cell_index[c]
             h = f.h(c.level)
-            x0, y0 = f.cell_corner(c)
-            px = (xy[0] - x0) / h
-            py = (xy[1] - y0) / h
-            wx = coarse._lagrange_at(np.array([px]))[0]
-            wy = coarse._lagrange_at(np.array([py]))[0]
+            corner = f.cell_corner(c)
+            t = [(xy[d] - corner[d]) / h for d in range(dim)]
+            wd = [coarse._lagrange_at(np.array([t[d]]))[0] for d in range(dim)]
             entries = {}
-            gi = coarse.gidx[ci].reshape(n, n, coarse.K)
-            gw = coarse.gw[ci].reshape(n, n, coarse.K)
-            for a in range(n):
-                if abs(wy[a]) < 1e-14:
+            gi = coarse.gidx[ci].reshape((n,) * dim + (coarse.K,))
+            gw = coarse.gw[ci].reshape((n,) * dim + (coarse.K,))
+            rng = [range(n)] * dim
+            for mi in product(*rng):
+                w0 = 1.0
+                for d in range(dim):
+                    w0 *= wd[d][mi[dim - 1 - d]]
+                if abs(w0) < 1e-14:
                     continue
-                for b in range(n):
-                    if abs(wx[b]) < 1e-14:
+                for k in range(coarse.K):
+                    w = w0 * gw[mi + (k,)]
+                    if abs(w) < 1e-14:
                         continue
-                    for k in range(coarse.K):
-                        w = wy[a] * wx[b] * gw[a, b, k]
-                        if abs(w) < 1e-14:
-                            continue
-                        m = int(gi[a, b, k])
-                        entries[m] = entries.get(m, 0.0) + w
+                    m = int(gi[mi + (k,)])
+                    entries[m] = entries.get(m, 0.0) + w
             items = list(entries.items())
             K2 = max(K2, len(items))
             idx_rows.append([m for m, _ in items])
@@ -436,24 +522,24 @@ class AdaptiveGrid:
         return idx, w
 
     @staticmethod
-    def _locate(forest: QuadForest, xy):
-        """Active cell containing the point (ties resolved toward lower
-        index; points are dof coordinates of a NESTED finer mesh)."""
+    def _locate(forest: Forest, xy):
+        """Active cell containing the point (points are dof coordinates of
+        a NESTED finer mesh)."""
+        dim = forest.dim
         eps = 1e-12 * (abs(forest.extent) + 1)
         for lvl in range(0, 40):
             h = forest.h(lvl)
             nmax = forest.root_cells << lvl
-            ix = min(int((xy[0] - forest.origin + eps) / h), nmax - 1)
-            iy = min(int((xy[1] - forest.origin + eps) / h), nmax - 1)
-            # nudge off cell boundaries: try the containing candidates
-            for jx in (ix, ix - 1):
-                for jy in (iy, iy - 1):
-                    if jx < 0 or jy < 0:
-                        continue
-                    c = Cell(lvl, jx, jy)
-                    if c in forest.active:
-                        x0, y0 = forest.cell_corner(c)
-                        if (x0 - eps <= xy[0] <= x0 + h + eps
-                                and y0 - eps <= xy[1] <= y0 + h + eps):
-                            return c
+            base = [min(int((xy[d] - forest.origin + eps) / h), nmax - 1)
+                    for d in range(dim)]
+            for offs in product((0, -1), repeat=dim):
+                coords = [base[d] + offs[d] for d in range(dim)]
+                if any(c < 0 for c in coords):
+                    continue
+                c = Cell.of(lvl, coords)
+                if c in forest.active:
+                    corner = forest.cell_corner(c)
+                    if all(corner[d] - eps <= xy[d] <= corner[d] + h + eps
+                           for d in range(dim)):
+                        return c
         raise KeyError(f"point {xy} not in forest")

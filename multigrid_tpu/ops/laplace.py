@@ -370,6 +370,99 @@ class LaplaceOperator:
         return jnp.sqrt(err / vol)
 
 
+def _contract_axis_host(t: np.ndarray, M: np.ndarray, axis: int) -> np.ndarray:
+    """out[..., q@axis, ...] = sum_i M[q, i] t[..., i@axis, ...] (numpy)."""
+    return np.moveaxis(np.tensordot(M, t, axes=(1, axis)), 0, axis)
+
+
+def _scatter_pair_host(a: np.ndarray, p: int) -> np.ndarray:
+    """Additively merge trailing ``[..., nc, n]`` cell windows (n = p+1,
+    stride p) into dense nodes ``[..., nc*p+1]`` — numpy mirror of the
+    device window scatter (ops/windows.py)."""
+    nc, n = a.shape[-2], a.shape[-1]
+    lead = a.shape[:-2]
+    main = a[..., :p].reshape(lead + (nc * p,))
+    tail = np.concatenate(
+        [np.zeros(lead + (nc, p - 1), a.dtype), a[..., p:]], axis=-1
+    ).reshape(lead + (nc * p,))
+    pad = [(0, 0)] * len(lead)
+    return (np.pad(main, pad + [(0, 1)]) + np.pad(tail, pad + [(1, 0)]))
+
+
+def compute_rhs_host(grid: DofGrid, rhs_fn, u_bc_np: np.ndarray,
+                     coef: Optional[DiagCoef] = None,
+                     z_slab_cells: int = 4) -> np.ndarray:
+    """Host (numpy, native fp64) rhs assembly ``b = M f - A u_bc`` with zero
+    Dirichlet rows — the flagship-scale setup path.
+
+    The on-device dp assembly must unroll its slab loop (f64 einsums inside
+    lax.map bodies lose accuracy on XLA:TPU) and the unrolled fp64-emulation
+    compile costs ~25 minutes at 135M dofs; rhs assembly is setup (untimed,
+    cf. /root/reference/README.md:72 "rhs 8.98 s"), so it runs here in
+    slabbed numpy where fp64 is native and exact
+    (cf. compute_residual, /root/reference/common/laplace_operator.h:804-845).
+    """
+    assert grid.dim == 3
+    coef = coef if coef is not None else make_diag_coef(grid)
+    b = grid.basis
+    n, p = b.n, grid.degree
+    S = np.asarray(b.S, np.float64)          # [q, i] node -> quad
+    D = np.asarray(b.D_col, np.float64)      # [q, q'] collocation derivative
+    qw = np.asarray(b.quad_weights, np.float64)
+    w3 = qw[:, None, None] * qw[None, :, None] * qw[None, None, :]
+    ncz, ncy, ncx = grid.cells
+    jxw = grid.jxw_scalar
+    qz, qy, qx = (np.asarray(grid.axis_quads[d], np.float64) for d in range(3))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    out = np.zeros(grid.shape, np.float64)
+    u = np.asarray(u_bc_np, np.float64)
+    ubc_zero = not np.any(u)
+    for z0 in range(0, ncz, z_slab_cells):
+        cz = min(z_slab_cells, ncz - z0)
+        # --- M f: rhs at quad points, times w3*JxW, contracted to nodes
+        coords = [
+            qz[z0 : z0 + cz].reshape(cz, 1, 1, n, 1, 1),
+            qy.reshape(1, ncy, 1, 1, n, 1),
+            qx.reshape(1, 1, ncx, 1, 1, n),
+        ]
+        fq = np.broadcast_to(np.asarray(rhs_fn(coords), np.float64),
+                             (cz, ncy, ncx, n, n, n))
+        y = fq * (w3 * jxw)
+        for d in range(3):
+            y = _contract_axis_host(y, S.T, 3 + d)
+        # --- minus A u_bc (gather -> quad -> gradients -> merged coef ->
+        #     transpose sweeps), skipped when the boundary data is zero
+        if not ubc_zero:
+            rows = u[z0 * p : (z0 + cz) * p + 1]
+            w = sliding_window_view(rows, n, axis=0)[::p]
+            w = sliding_window_view(w, n, axis=1)[:, ::p]
+            w = sliding_window_view(w, n, axis=2)[:, :, ::p]
+            uq = np.asarray(w)
+            for d in range(3):
+                uq = _contract_axis_host(uq, S, 3 + d)
+            acc = None
+            for d in range(3):
+                g = _contract_axis_host(uq, D, 3 + d)
+                g = g * (coef.values[d] * w3)
+                g = _contract_axis_host(g, D.T, 3 + d)
+                acc = g if acc is None else acc + g
+            for d in range(3):
+                acc = _contract_axis_host(acc, S.T, 3 + d)
+            y = y - acc
+        # --- scatter-add the slab (pairs [cz,nz], [ncy,ny], [ncx,nx])
+        t = y.transpose(0, 3, 1, 4, 2, 5)       # [cz, nz, ncy, ny, ncx, nx]
+        t = _scatter_pair_host(t, p)            # [cz, nz, ncy, ny, X]
+        t = np.moveaxis(t, 4, 2)                # [cz, nz, X, ncy, ny]
+        t = _scatter_pair_host(t, p)            # [cz, nz, X, Y]
+        t = t.transpose(0, 1, 3, 2)             # [cz, nz, Y, X]
+        t = t.transpose(2, 3, 0, 1)             # [Y, X, cz, nz]
+        t = np.moveaxis(_scatter_pair_host(t, p), 2, 0)  # [cz*p+1, Y, X]
+        out[z0 * p : (z0 + cz) * p + 1] += t
+    interior = ~np.asarray(grid.boundary_mask())
+    return np.where(interior, out, 0.0)
+
+
 def l2_error_host(grid: DofGrid, u_np: np.ndarray, exact_fn,
                   z_slab_cells: int = 4) -> float:
     """Host (numpy, true fp64) volume-weighted L2 error vs the analytic

@@ -202,6 +202,17 @@ class DenseLaplaceOzaki(_DenseBase):
     def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
                  n_limbs: int = _N_LIMBS, max_m: int = _MAX_M):
         super().__init__(grid, coef)
+        # exact-f32-accumulation certification: every bf16 limb product has
+        # a 2*_LIMB_BITS-bit mantissa, and the largest scale-group matmul
+        # contracts (max_m+1)*N such terms; the sum stays exactly
+        # representable in f32 only while 2*_LIMB_BITS + log2 terms < 24.
+        # Beyond that (degree >= 5 in 3-D) dp accuracy would degrade
+        # unannounced — callers must pick the df64 path instead.
+        if (max_m + 1) * self.N >= 2 ** (24 - 2 * _LIMB_BITS):
+            raise ValueError(
+                f"Ozaki exact-accumulation bound violated: "
+                f"({max_m + 1})*{self.N} >= 2^{24 - 2 * _LIMB_BITS}; "
+                "use the df64 dp operator for this element size")
         self.n_limbs = n_limbs
         self.max_m = max_m
         sigma, limbs = _split_limbs_f64(self.K.T, n_limbs)

@@ -37,6 +37,10 @@ from .laplace import DiagCoef
 from .laplace_dense import _LIMB_BITS, _MAX_M, _N_LIMBS, _split_limbs_f64, element_matrix
 from .masks import bcast_and, interior_axes_jnp
 
+# index-map literals must be 32-bit: under jax_enable_x64 Python ints trace
+# as i64 and Mosaic rejects the lowered index function (measured)
+_I0 = np.int32(0)
+
 
 def _limb_split_block(rh, rl, n_limbs):
     limbs = []
@@ -156,8 +160,9 @@ class PallasOzakiLaplace:
             ],
             out_specs=(
                 pl.BlockSpec((1, _N_LIMBS * self.N, cy, cx),
-                             lambda zi: (zi, 0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cy, cx), lambda zi: (zi, 0, 0),
+                             lambda zi: (zi, _I0, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cy, cx), lambda zi: (zi, _I0, _I0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=out_shapes,
@@ -222,16 +227,17 @@ class PallasOzakiLaplace:
             grid=(cz, _MAX_M + 1),
             in_specs=[
                 pl.BlockSpec((1, self.N, cy, cx),
-                             lambda zi, m: (zi, m, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, cy, cx), lambda zi, m: (zi, 0, 0),
+                             lambda zi, m: (zi, m, _I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cy, cx), lambda zi, m: (zi, _I0, _I0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((1, n, n, self.Y, cx),
-                             lambda zi, m: (zi, 0, 0, 0, 0),
+                             lambda zi, m: (zi, _I0, _I0, _I0, _I0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, n, n, self.Y, cx),
-                             lambda zi, m: (zi, 0, 0, 0, 0),
+                             lambda zi, m: (zi, _I0, _I0, _I0, _I0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=out_shapes,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.brick import BrickMesh, DofGrid
-from ..ops.laplace import LaplaceOperator, make_diag_coef
+from ..ops.laplace import DiagCoef, LaplaceOperator, make_diag_coef
 from ..ops.transfer import Transfer
 from .cg import CGResult, cg_solve
 from ..ops.df64 import norm_f64
@@ -65,6 +65,18 @@ class MultigridSolver:
         chebyshev_kind: str = FIRST_KIND,
     ):
         assert n_pre == n_post, "reference requires equal pre/post degree"
+        import os as _os
+        import time as _time
+        _timing = bool(_os.environ.get("MGT_SETUP_TIMING"))
+        _t0 = _time.perf_counter()
+
+        def _tick(label):
+            nonlocal _t0
+            if _timing:
+                t = _time.perf_counter()
+                print(f"# setup {label}: {t - _t0:.2f} s", flush=True)
+                _t0 = t
+
         self.mesh = mesh
         self.degree = degree
         self.n_cycles = n_cycles
@@ -105,10 +117,19 @@ class MultigridSolver:
             from ..ops.laplace_dense import DenseLaplaceOzaki, DenseLaplaceOzakiChunked
 
             def _dp(g):
-                if (dp_impl == "ozaki_chunked" and g.dim == 3
-                        and g.n_dofs > chunk_threshold):
-                    return DenseLaplaceOzakiChunked(g, make_diag_coef(g, coefficient))
-                return DenseLaplaceOzaki(g, make_diag_coef(g, coefficient))
+                try:
+                    if (dp_impl == "ozaki_chunked" and g.dim == 3
+                            and g.n_dofs > chunk_threshold):
+                        return DenseLaplaceOzakiChunked(
+                            g, make_diag_coef(g, coefficient))
+                    return DenseLaplaceOzaki(g, make_diag_coef(g, coefficient))
+                except ValueError:
+                    # Ozaki exact-accumulation bound fails for (p+1)^dim
+                    # beyond ~146 (degree >= 5 in 3-D): fall back to the
+                    # compensated df64 operator, which has no such bound
+                    from ..ops.laplace_df64 import LaplaceOperatorDF64
+
+                    return LaplaceOperatorDF64(g, make_diag_coef(g, coefficient))
 
             self.dp_ops = [_dp(g) for g in self.grids]
         elif dp_impl == "df64":
@@ -120,6 +141,7 @@ class MultigridSolver:
             ]
         else:
             self.dp_ops = self.ops_dp
+        _tick("operators")
         # constrained transfer (V-cycle, sp) and unconstrained (solution, dp)
         self.transfers = [None] + [
             Transfer(self.grids[l], self.grids[l - 1], v_dtype, constrained=True)
@@ -147,19 +169,31 @@ class MultigridSolver:
             nodes = g.node_coords()
             vals = np.asarray(exact_fn(nodes), dtype=np.float64)
             vals = np.broadcast_to(vals, g.shape)
-            ubc = jnp.asarray(
-                np.where(np.asarray(g.boundary_mask()), vals, 0.0), f_dtype
-            )
+            ubc_np = np.where(np.asarray(g.boundary_mask()), vals, 0.0)
+            ubc = jnp.asarray(ubc_np, f_dtype)
             self.u_bc.append(ubc)
-            quads = g.quad_coords_interleaved()
-            f_quad = jnp.asarray(np.asarray(rhs_fn(quads), dtype=np.float64), f_dtype)
-            # chunked assembly above ~4M dofs: the monolithic dp einsums
-            # materialize padded intermediates that OOM a 16GB chip
-            rhs_fn_op = (self.ops_dp[l].compute_rhs_chunked
-                         if g.dim == 3 and g.n_dofs > 4_000_000
-                         else self.ops_dp[l].compute_rhs)
-            self.rhs.append(jax.jit(rhs_fn_op)(f_quad, ubc))
-            del f_quad
+            _tick(f"u_bc[{l}]")
+            if (g.dim == 3 and g.n_dofs > 4_000_000
+                    and isinstance(self.ops_dp[l].coef, DiagCoef)):
+                # large grids: assemble the dp rhs on the HOST (native fp64,
+                # no device compile) — setup is untimed, and the unrolled
+                # on-device chunked dp assembly costs ~25 min of fp64-
+                # emulation compile at the 135M flagship
+                from ..ops.laplace import compute_rhs_host
+
+                self.rhs.append(jnp.asarray(
+                    compute_rhs_host(g, rhs_fn, ubc_np,
+                                     self.ops_dp[l].coef), f_dtype))
+            else:
+                quads = g.quad_coords_interleaved()
+                f_quad = jnp.asarray(
+                    np.asarray(rhs_fn(quads), dtype=np.float64), f_dtype)
+                rhs_fn_op = (self.ops_dp[l].compute_rhs_chunked
+                             if g.dim == 3 and g.n_dofs > 4_000_000
+                             else self.ops_dp[l].compute_rhs)
+                self.rhs.append(jax.jit(rhs_fn_op)(f_quad, ubc))
+                del f_quad
+            _tick(f"rhs[{l}]")
 
         # Chebyshev smoothers (multigrid_solver.h:268-291).  The diagonal
         # preconditioner is rebuilt in-graph from separable factors at each
@@ -199,6 +233,7 @@ class MultigridSolver:
                     example=example,
                 )
             self.smoothers.append(sm)
+            _tick(f"smoother[{l}]")
 
         self._fmg_jit = None
         self._cg_jit = None
@@ -224,6 +259,9 @@ class MultigridSolver:
         self._vcycle_jits = {}
         self._resid_jits = {}
         self._misc_jits = {}
+        # the stepped-CG programs close over _precond/_constrain too
+        if hasattr(self, "_cg_step_cache"):
+            self._cg_step_cache = {}
 
     def exact_on_quad(self, level: int) -> jnp.ndarray:
         """Analytic solution at the quadrature points of one level (lazily

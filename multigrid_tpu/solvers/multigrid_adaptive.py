@@ -95,16 +95,17 @@ class AdaptiveMultigridSolver:
 
         # boundary data + rhs on the finest grid
         g = grids[-1]
-        vals = np.asarray(exact_fn([g.dof_xy[:, 0], g.dof_xy[:, 1]]), float)
+        dim = g.dim
+        vals = np.asarray(
+            exact_fn([g.dof_xy[:, d] for d in range(dim)]), float)
         self.u_bc = jnp.asarray(np.where(g.boundary, vals, 0.0), f_dtype)
         qxy = self.op_dp.quad_points()
-        f_quad = jnp.asarray(
-            np.asarray(rhs_fn([qxy[..., 0], qxy[..., 1]]), float), f_dtype
-        )
+        qc = [qxy[..., d] for d in range(dim)]
+        f_quad = jnp.asarray(np.asarray(rhs_fn(qc), float), f_dtype)
         f_quad = jnp.broadcast_to(f_quad, (g.n_cells, self.op_dp.N))
         self.rhs = self.op_dp.compute_rhs(f_quad, self.u_bc)
         self.exact_quad = jnp.asarray(
-            np.asarray(exact_fn([qxy[..., 0], qxy[..., 1]]), float), f_dtype
+            np.asarray(exact_fn(qc), float), f_dtype
         )
         self._cg_jit = None
 

@@ -101,7 +101,7 @@ class GeneralMultigridSolver:
         self._cg_jit = None
         # pytree-parameterized solve path (one compile across Newton steps)
         self._params = None
-        self._cg_param_jit = None
+        self._cg_param_jits = {}
         self._eig_jits = {}
         self._inv_diag_jits = {}
 
@@ -175,8 +175,11 @@ class GeneralMultigridSolver:
         L = self.maxlevel
         b = self.rhs[L] if b is None else b
         if self._params is not None:
-            if self._cg_param_jit is None:
-                self._cg_param_jit = jax.jit(
+            # keyed on the stopping criteria: a later call with different
+            # tolerances must not silently reuse the first compile
+            key = (rtol, abs_tol, max_iterations)
+            if key not in self._cg_param_jits:
+                self._cg_param_jits[key] = jax.jit(
                     lambda bb, params: cg_solve(
                         lambda x: self.ops_dp[L].vmult(x, C=params["C_dp"][L]),
                         bb,
@@ -185,7 +188,7 @@ class GeneralMultigridSolver:
                         abs_tol=abs_tol, rtol=rtol,
                     )
                 )
-            res: CGResult = self._cg_param_jit(b, self._params)
+            res: CGResult = self._cg_param_jits[key](b, self._params)
         else:
             if self._cg_jit is None:
                 self._cg_jit = jax.jit(
@@ -267,6 +270,22 @@ class GeneralMultigridSolver:
         for l in range(L):
             self.ops[l].C = C_sp[l]
             self.ops_dp[l].C = C_dp[l]
+        # rebuild the static smoothers so the non-param paths (solve()/
+        # _fmg(), v_cycle(params=None)) smooth the NEW operator with the
+        # NEW diagonal/interval, not the stale __init__ values
+        import dataclasses
+
+        new_smoothers = []
+        for l in range(L):
+            sm = self.smoothers[l]
+            deg = sm.degree if l > self.minlevel else int(coarse_degree)
+            new_smoothers.append(dataclasses.replace(
+                sm,
+                vmult_op=partial(self.ops[l].vmult, C=C_sp[l]),
+                precond=lambda r, _d=inv_diag[l]: _d * r,
+                theta=theta[l], delta=delta[l], degree=deg,
+            ))
+        self.smoothers = new_smoothers
         self._cg_jit = None
         self._fmg_jit = None
 

@@ -31,8 +31,9 @@ def test_minimal_surface_newton():
     assert res[-1] < 0.1 * res[-2]
     # pytree-parameterized solves: CG compiled exactly ONCE across all
     # Newton iterations (VERDICT item 7 done-criterion)
-    assert n.solver._cg_param_jit is not None
-    assert n.solver._cg_param_jit._cache_size() == 1
+    jits = list(n.solver._cg_param_jits.values())
+    assert len(jits) == 1   # one (rtol, abs_tol, max_its) key
+    assert jits[0]._cache_size() == 1
 
 
 def test_minimal_surface_refinement_cycles():
