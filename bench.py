@@ -38,7 +38,8 @@ def bench_fmg(size: int):
 
     mesh = poisson_cube_mesh(size)
     t0 = time.perf_counter()
-    solver = build_solver(mesh, 4)
+    solver = build_solver(
+        mesh, 4, dp_impl=os.environ.get("BENCH_DP_IMPL", "ozaki_chunked"))
     print(f"# setup({size}): {time.perf_counter()-t0:.1f} s", file=sys.stderr)
     n_dofs = solver.grids[solver.maxlevel].n_dofs
     best = np.inf

@@ -81,6 +81,20 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     _, report, reduction = solver.solve_analyze()
     row["reduction"] = reduction
     row["fmg_L2error"] = solver.l2_error(solver.maxlevel, sol)
+    if verbose and grid.n_dofs < 100_000_000:
+        # per-level wall-time table for one analyzed V-cycle, the
+        # reference's print_wall_times output after each solve
+        # (/root/reference/common/multigrid_solver.h:347-371); skipped at
+        # the flagship size where the extra per-level executables would
+        # crowd HBM before the CG phase
+        from multigrid_tpu.utils.timing import LevelTimings
+
+        timings = LevelTimings()
+        defect = solver.rhs[solver.maxlevel].astype(solver.v_dtype)
+        solver.v_cycle_timed(solver.maxlevel, defect, n_cycles, timings)
+        timings.reset()  # discard compile-pass timings
+        solver.v_cycle_timed(solver.maxlevel, defect, n_cycles, timings)
+        timings.print_table()
     del sol  # free the dp solution before CG: every GB counts at 135M
     if grid.n_dofs > 100_000_000:
         # the CG phase touches only the finest level's rhs/u_bc; drop the
@@ -138,6 +152,47 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     return row
 
 
+def run_deformed(args):
+    """Deformed-manifold ladder on the general (mapped-mesh) path
+    (/root/reference/poisson_cube/program.cc:405-484, off by default
+    there too): CG + FMG solves with L2 errors at optimal p+1 rates."""
+    import time as _time
+
+    from multigrid_tpu.mesh.shapes import deformed_cube
+    from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
+
+    rows = []
+    for n_levels in range(2, 9):
+        mesh = deformed_cube(2, n_levels=n_levels, dim=args.dim)
+        n_dofs = (2 ** n_levels * 2 * args.degree + 1) ** args.dim
+        if n_dofs < args.minsize:
+            continue
+        if n_dofs > min(args.maxsize, 3_000_000):
+            break
+        s = GeneralMultigridSolver(mesh, args.degree, exact_fn, rhs_fn,
+                                   n_pre=args.n_pre_smooth,
+                                   n_post=args.n_post_smooth,
+                                   n_cycles=args.n_mg_cycles)
+        t0 = _time.perf_counter()
+        sol = s.solve()
+        sol.block_until_ready()
+        fmg_t = _time.perf_counter() - t0
+        fmg_err = s.l2_error(s.maxlevel, sol)
+        t0 = _time.perf_counter()
+        sol_cg, its, red = s.solve_cg()
+        fmg = _time.perf_counter() - t0
+        row = dict(cells=s.grids[-1].n_cells, dofs=s.grids[-1].n_dofs,
+                   fmg_time=fmg_t,
+                   fmg_L2error=float(fmg_err), cg_time=fmg, cg_its=its,
+                   cg_reduction=red,
+                   cg_L2error=float(s.l2_error(s.maxlevel, sol_cg)))
+        print(row)
+        rows.append(row)
+    from multigrid_tpu.utils.tables import print_convergence_table
+
+    print_convergence_table(rows, dim=args.dim)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("degree", type=int, nargs="?", default=4)
@@ -152,7 +207,14 @@ def main():
     ap.add_argument("--devices", type=int, default=0,
                     help="distribute solves over this many devices "
                          "(jax.sharding mesh; 0 = single device)")
+    ap.add_argument("--deform", action="store_true",
+                    help="sinusoidally deformed cube via the mapped-mesh "
+                         "path (reference MyManifold, program.cc:405-484)")
     args = ap.parse_args()
+
+    if args.deform:
+        run_deformed(args)
+        return
 
     rows = []
     for cycle, size in enumerate(SIZES):

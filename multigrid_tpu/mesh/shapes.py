@@ -164,3 +164,55 @@ def hyper_ball_2d(radius: float = 1.0, n_levels: int = 1) -> MappedMesh:
         return np.abs(r - R) < tol
 
     return MappedMesh(blocks=blocks, n_levels=n_levels, boundary_fn=boundary_fn)
+
+
+def deformed_cube(size: int = 1, n_levels: int = 1, a: float = -0.9,
+                  b: float = 1.0, factor: float = 0.01,
+                  dim: int = 3) -> MappedMesh:
+    """Sinusoidally deformed cube: the reference ``MyManifold`` chart
+    ``F(x) = x + factor * prod_d sin(pi x_d) * (1,..,1)`` applied to
+    ``[a, b]^dim`` (/root/reference/poisson_cube/program.cc:405-484,
+    factor 0.01).  One block of ``size^dim`` coarse cells; the boundary
+    test Newton-inverts the chart exactly as the reference's ``pull_back``
+    (:433-481)."""
+    L = b - a
+
+    def chart(x):
+        s = factor
+        for d in range(dim):
+            s = s * np.sin(np.pi * x[:, d])
+        return x + s[:, None]
+
+    def mapping(p):
+        return chart(a + L * p)
+
+    def pull_back(y, its: int = 50, tol: float = 1e-12):
+        x = np.array(y, np.float64, copy=True)
+        for _ in range(its):
+            sv = np.sin(np.pi * x)                     # [N, dim]
+            s = factor * np.prod(sv, axis=1)           # [N]
+            res = y - x - s[:, None]
+            if np.abs(res).max() < tol:
+                break
+            # J[e, d] = delta_ed + d s / d x_d  (rank-one column update)
+            J = np.broadcast_to(np.eye(dim), (x.shape[0], dim, dim)).copy()
+            for d in range(dim):
+                der = factor * np.pi * np.cos(np.pi * x[:, d])
+                for e in range(dim):
+                    if e != d:
+                        der = der * sv[:, e]
+                J[:, :, d] += der[:, None]
+            x = x + np.linalg.solve(J, res[:, :, None])[:, :, 0]
+        return x
+
+    def boundary_fn(xphys):
+        x = pull_back(np.asarray(xphys, np.float64))
+        tol = 1e-9 * max(abs(a), abs(b), 1.0)
+        on = np.zeros(x.shape[0], bool)
+        for d in range(dim):
+            on |= (np.abs(x[:, d] - a) < tol) | (np.abs(x[:, d] - b) < tol)
+        return on
+
+    blocks = [Block(cells=(size,) * dim, mapping=mapping)]
+    return MappedMesh(blocks=blocks, n_levels=n_levels,
+                      boundary_fn=boundary_fn)

@@ -59,7 +59,7 @@ def _transformed_diagonals(op: DGLaplace, T3: np.ndarray):
 
 
 class JacobiTransformed:
-    def __init__(self, op: DGLaplace, dtype=None):
+    def __init__(self, op: DGLaplace, dtype=None, general: bool | None = None):
         grid = op.grid
         dtype = dtype or op.dtype
         self.dtype = dtype
@@ -69,25 +69,47 @@ class JacobiTransformed:
         self.T = jnp.asarray(b.T, dtype)          # columns = eigenvectors
         self.Tt = jnp.asarray(b.T.T, dtype)
 
-        # probe mesh: same Jacobian, min(cells,3) cells per axis
-        probe_cells = tuple(min(c, 3) for c in grid.cells)
-        probe = DGGrid(cells=probe_cells, jacobian=grid.jacobian,
-                       degree=grid.degree, kind=grid.kind)
         Nc = n**dim
         T3 = np.array([[1.0]])
         for _ in range(dim):
             T3 = np.kron(T3, b.T)
-        # per-category transformed diagonal via checkerboard Rayleigh probes
-        d_cat = _transformed_diagonals(DGLaplace(probe, jnp.float64), T3)
-        # map categories to the real mesh
-        idx = []
-        for d in range(dim):
-            C, P = grid.cells[d], probe_cells[d]
-            m = np.full(C, min(1, P - 1))
-            m[0] = 0
-            m[-1] = P - 1
-            idx.append(m)
-        full = d_cat[np.ix_(*idx)].reshape(grid.cells + (n,) * dim)
+        # the 3-category translation-invariance shortcut below is valid
+        # ONLY for a uniform affine mesh with a cell-independent operator.
+        # DGGrid is structurally uniform (one constant Jacobian,
+        # dg.py:42); if the operator ever carries per-cell data (variable
+        # coefficient, curved cells), it must declare
+        # ``has_cell_data = True`` and we take the exact general path:
+        # checkerboard Rayleigh probes on the REAL mesh (still only
+        # 2 n^dim applies, cf. the reference's per-cell column assembly,
+        # /root/reference/common/laplace_operator_dg.h:2098-2247).
+        per_cell = bool(getattr(op, "has_cell_data", False))
+        if general is None:
+            general = per_cell
+        if not general and per_cell:
+            raise ValueError(
+                "JacobiTransformed category shortcut requires a uniform "
+                "cell-independent operator; pass general=True")
+        if general:
+            op64 = op if op.dtype == jnp.float64 else type(op)(
+                grid, jnp.float64)
+            full = _transformed_diagonals(op64, T3).reshape(
+                grid.cells + (n,) * dim)
+        else:
+            # probe mesh: same Jacobian, min(cells,3) cells per axis
+            probe_cells = tuple(min(c, 3) for c in grid.cells)
+            probe = DGGrid(cells=probe_cells, jacobian=grid.jacobian,
+                           degree=grid.degree, kind=grid.kind)
+            # per-category transformed diagonal via checkerboard probes
+            d_cat = _transformed_diagonals(DGLaplace(probe, jnp.float64), T3)
+            # map categories to the real mesh
+            idx = []
+            for d in range(dim):
+                C, P = grid.cells[d], probe_cells[d]
+                m = np.full(C, min(1, P - 1))
+                m[0] = 0
+                m[-1] = P - 1
+                idx.append(m)
+            full = d_cat[np.ix_(*idx)].reshape(grid.cells + (n,) * dim)
         self.inv_diag = jnp.asarray(1.0 / full, dtype)
 
     def _sweep(self, u, M):

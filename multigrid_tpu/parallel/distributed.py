@@ -86,3 +86,58 @@ class DistributedMultigrid:
         """Which levels actually split across devices (False = replicated)."""
         return [s.spec != P(*([None] * len(g.shape)))
                 for s, g in zip(self.shardings, self.solver.grids)]
+
+
+def dg_block_spec(grid, mesh: Mesh, min_local: int = 1) -> P:
+    """PartitionSpec for a DG block array ``[C0, C1(, C2), n, n(, n)]``:
+    split the leading CELL axes across the device mesh (the intra-cell dof
+    axes stay local — a cell never crosses a device, exactly the
+    reference's cell-ownership partition, p4est SFC per level)."""
+    spec = [None] * (2 * grid.dim)
+    for i, ax in enumerate(mesh.axis_names):
+        if i < grid.dim and grid.cells[i] // mesh.shape[ax] >= min_local:
+            spec[i] = ax
+    return P(*spec)
+
+
+class DistributedMultigridDG:
+    """Distribute the DG solvers (``MultigridSolverDG`` / ``DGPlain``) over
+    a device mesh via GSPMD: DG block vectors are domain-decomposed on
+    their cell axes; for the DG-over-CG solver the auxiliary FE_Q
+    hierarchy is wrapped with :class:`DistributedMultigrid` so EVERY level
+    of the combined cycle runs decomposed.  XLA inserts the face-halo
+    collective-permutes of the fused cell+face operator — the
+    compiler-scheduled equivalent of the reference's hand-rolled ghost
+    exchange (/root/reference/common/laplace_operator_dg.h:981-1058 driven
+    from multigrid_solver_dg.h:447-534)."""
+
+    def __init__(self, solver, mesh: Optional[Mesh] = None,
+                 min_local: int = 1):
+        if mesh is None:
+            mesh = make_mesh()
+        self.solver = solver
+        self.mesh = mesh
+        repl = NamedSharding(mesh, P())
+        if hasattr(solver, "grids"):          # pure-DG h-multigrid
+            self.shardings = [
+                NamedSharding(mesh, dg_block_spec(g, mesh, min_local))
+                for g in solver.grids
+            ]
+            shardings = self.shardings
+
+            def constrain(level, x):
+                return jax.lax.with_sharding_constraint(x, shardings[level])
+
+            solver._constrain = constrain
+        else:                                 # DG-over-CG
+            sh = NamedSharding(
+                mesh, dg_block_spec(solver.dg_grid, mesh, min_local))
+            solver._constrain_dg = (
+                lambda x: jax.lax.with_sharding_constraint(x, sh))
+            self.shardings = [sh]
+            self.cg_wrap = DistributedMultigrid(solver.cg, mesh)
+        solver.reset_jit_caches()
+        solver.rhs = jax.device_put(solver.rhs, repl)
+
+    def solve_cg(self, **kw):
+        return self.solver.solve_cg(**kw)

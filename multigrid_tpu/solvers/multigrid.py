@@ -113,7 +113,24 @@ class MultigridSolver:
             self.sp_ops = [_sp(g) for g in self.grids]
         else:
             self.sp_ops = self.ops
-        if dp_impl in ("ozaki", "ozaki_chunked"):
+        if dp_impl == "pallas_fused":
+            # fully-fused Mosaic kernel (ops/pallas_fused.py) where its
+            # constraints hold (p=4, 3-D, cx % 128 == 0, large grid);
+            # XLA Ozaki chunked otherwise
+            from ..ops.laplace_dense import DenseLaplaceOzaki, DenseLaplaceOzakiChunked
+            from ..ops.pallas_fused import PallasFusedOzaki
+
+            def _dp(g):
+                if (g.dim == 3 and g.degree == 4 and g.cells[2] % 128 == 0
+                        and g.n_dofs > chunk_threshold):
+                    return PallasFusedOzaki(g, make_diag_coef(g, coefficient))
+                if g.dim == 3 and g.n_dofs > chunk_threshold:
+                    return DenseLaplaceOzakiChunked(
+                        g, make_diag_coef(g, coefficient))
+                return DenseLaplaceOzaki(g, make_diag_coef(g, coefficient))
+
+            self.dp_ops = [_dp(g) for g in self.grids]
+        elif dp_impl in ("ozaki", "ozaki_chunked"):
             from ..ops.laplace_dense import DenseLaplaceOzaki, DenseLaplaceOzakiChunked
 
             def _dp(g):

@@ -67,6 +67,11 @@ def _quad_coords_block(grid: DGGrid, mesh: BrickMesh, level: int):
 class _DGOuterCG:
     """Shared outer-CG machinery (multigrid_solver_dg.h:410-424)."""
 
+    def reset_jit_caches(self):
+        """Drop cached jitted callables (needed when the sharding hooks
+        change after construction — see parallel/distributed.py)."""
+        self._cg_jit = None
+
     def solve_cg(self, tolerance: float = 1e-3, max_iterations: int = 100):
         if self._cg_jit is None:
             self._cg_jit = jax.jit(
@@ -152,14 +157,18 @@ class MultigridSolverDG(_DGOuterCG):
         )
         self.v_dtype, self.f_dtype = v_dtype, f_dtype
         self._cg_jit = None
+        # DG-level sharding hook (identity on one device); the distributed
+        # wrapper replaces it with ``lax.with_sharding_constraint``
+        self._constrain_dg = lambda x: x
 
     def dg_v_cycle(self, defect: jnp.ndarray) -> jnp.ndarray:
         """multigrid_solver_dg.h:605-633."""
+        defect = self._constrain_dg(defect)
         upd = self.smooth_dg.vmult(defect)
         r = self.op.vmult_residual(defect, upd)
-        r_cg = self.coupling.dg_to_cg(r)
+        r_cg = self.cg._constrain(self.cg.maxlevel, self.coupling.dg_to_cg(r))
         corr = self.cg.v_cycle(self.cg.maxlevel, r_cg, 1)
-        upd = upd + self.coupling.cg_to_dg(corr)
+        upd = upd + self._constrain_dg(self.coupling.cg_to_dg(corr))
         return self.smooth_dg.step(upd, defect)
 
     def _precond(self, r: jnp.ndarray) -> jnp.ndarray:
@@ -220,16 +229,20 @@ class MultigridSolverDGPlain(_DGOuterCG):
         )
         self.v_dtype, self.f_dtype = v_dtype, f_dtype
         self._cg_jit = None
+        # per-level sharding hook (identity on one device); the distributed
+        # wrapper replaces it with ``lax.with_sharding_constraint``
+        self._constrain = lambda level, x: x
 
     def v_cycle(self, level: int, defect: jnp.ndarray) -> jnp.ndarray:
         """multigrid_solver_dg_plain.h:455-496."""
+        defect = self._constrain(level, defect)
         if level == 0:
             return self.smoothers[0].vmult(defect)
         upd = self.smoothers[level].vmult(defect)
         t = self.ops[level].vmult_residual(defect, upd)
         dc = self.transfers[level].restrict(t)
         corr = self.v_cycle(level - 1, dc)
-        upd = upd + self.transfers[level].prolongate(corr)
+        upd = upd + self._constrain(level, self.transfers[level].prolongate(corr))
         return self.smoothers[level].step(upd, defect)
 
     def _precond(self, r: jnp.ndarray) -> jnp.ndarray:

@@ -50,3 +50,24 @@ def test_minimal_surface_refinement_cycles():
     cold = MinimalSurfaceNewton(2, 2)
     _, res_cold, _ = cold.solve(tol=1e-9, verbose=False)
     assert results[1]["newton_its"] <= len(res_cold) - 1
+
+
+def test_deformed_cube_manifold():
+    """--deform option: reference MyManifold chart on the general path
+    (/root/reference/poisson_cube/program.cc:405-484) converges at ~p+1
+    with mesh-independent iterations."""
+    import math
+
+    from experiments.poisson_cube import exact_fn, rhs_fn
+    from multigrid_tpu.mesh.shapes import deformed_cube
+    from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
+
+    errs, itss = [], []
+    for nl in (2, 3):
+        mesh = deformed_cube(2, n_levels=nl)
+        s = GeneralMultigridSolver(mesh, 3, exact_fn, rhs_fn)
+        sol, its, red = s.solve_cg()
+        errs.append(float(s.l2_error(s.maxlevel, sol)))
+        itss.append(its)
+    assert max(itss) <= 9 and abs(itss[0] - itss[1]) <= 1
+    assert math.log2(errs[0] / errs[1]) > 3.2   # optimal would be 4
