@@ -68,13 +68,25 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("degree", type=int, nargs="?", default=4)
     ap.add_argument("maxsize", type=int, nargs="?", default=2_000_000)
-    ap.add_argument("n_mg_cycles", type=int, nargs="?", default=2)
-    ap.add_argument("n_pre_smooth", type=int, nargs="?", default=2)
-    ap.add_argument("n_post_smooth", type=int, nargs="?", default=2)
+    # reference defaults: n_mg_cycles 1, pre/post 3 (program.cc:522-524)
+    ap.add_argument("n_mg_cycles", type=int, nargs="?", default=1)
+    ap.add_argument("n_pre_smooth", type=int, nargs="?", default=3)
+    ap.add_argument("n_post_smooth", type=int, nargs="?", default=3)
+    ap.add_argument("--pure-double", action="store_true",
+                    help="all-double V-cycle with fourth-kind Chebyshev — "
+                         "the reference poisson_shell solver specialization "
+                         "(multigrid_solver.h:789-1285, 945-963)")
+    ap.add_argument("--cycles", type=int, default=8)
     args = ap.parse_args()
 
+    kw = {}
+    if args.pure_double:
+        from multigrid_tpu.solvers.chebyshev import FOURTH_KIND
+
+        kw = dict(pure_double=True, chebyshev_kind=FOURTH_KIND)
+
     rows = []
-    for cycle in range(8):
+    for cycle in range(args.cycles):
         n_levels = 1 + cycle // 2
         if cycle % 2 == 0:
             mesh = hyper_shell(0.5, 1.0, n_levels=n_levels)
@@ -84,7 +96,7 @@ def main():
         s = GeneralMultigridSolver(
             mesh, args.degree, exact_fn, rhs_fn, coef_fn=coef_fn,
             n_pre=args.n_pre_smooth, n_post=args.n_post_smooth,
-            n_cycles=args.n_mg_cycles,
+            n_cycles=args.n_mg_cycles, **kw,
         )
         g_dofs = s.grids[s.maxlevel].n_dofs
         if g_dofs > args.maxsize:
@@ -107,6 +119,13 @@ def main():
                    cg_L2error=s.l2_error(s.maxlevel, sol_cg))
         print(row)
         rows.append(row)
+        # drop the finished cycle's executables/buffers before the next,
+        # larger size (accumulated device state OOMs the big rows)
+        import gc
+
+        del s, sol, sol_cg
+        gc.collect()
+        jax.clear_caches()
 
     from multigrid_tpu.utils.tables import print_convergence_table
     print_convergence_table(rows, dim=3)

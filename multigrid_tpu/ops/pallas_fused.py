@@ -49,6 +49,10 @@ _I0 = np.int32(0)
 class PallasFusedOzaki:
     """dp A·u in one fused kernel + 2 XLA glue passes; p=4 3-D bricks."""
 
+    # hardware-bisection stages: 'dma' (window only), 'limb' (+ limb
+    # split), 'matmul' (+ group matmuls), 'full' (everything)
+    _stage = "full"
+
     def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
                  cy_chunk: int = 32, interpret: bool = False):
         assert grid.dim == 3 and grid.degree == 4
@@ -143,6 +147,21 @@ class PallasFusedOzaki:
 
         uh = rows(sh[...])
         ul = rows(sl[...])
+
+        def _debug_write(a_flat):
+            """Write a [N, F] f32 block into the output rows (bisection)."""
+            @pl.when(yj == 0)
+            def _():
+                outh_ref[...] = jnp.zeros_like(outh_ref)
+                outl_ref[...] = jnp.zeros_like(outl_ref)
+            v = a_flat.reshape(n, n, n, cy_b, cx)
+            w = v.transpose(3, 1, 0, 2, 4)[:, :p].reshape(cy_b * p, n, n, cx)
+            outh_ref[0, pl.ds(rows0, cy_b * p)] = w
+            outl_ref[0, pl.ds(rows0, cy_b * p)] = w
+
+        if self._stage == "dma":
+            _debug_write(uh)
+            return
         s_ = jnp.max(jnp.abs(uh), axis=0, keepdims=True)
         sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(s_, 1e-30))))
         sigma = jnp.where(s_ > 0, sigma, 1.0)          # [1, F]
@@ -159,6 +178,9 @@ class PallasFusedOzaki:
                 (chopped * np.float32(2.0 ** (_LIMB_BITS * k))
                  ).astype(jnp.bfloat16))
         big = jnp.concatenate(limbs, axis=0)           # [7N, F] bf16
+        if self._stage == "limb":
+            _debug_write(big[:N].astype(jnp.float32))
+            return
 
         acc_h = acc_l = None
         for m in range(_MAX_M + 1):
@@ -175,6 +197,9 @@ class PallasFusedOzaki:
             else:
                 acc_h, acc_l = df64_add(acc_h, acc_l, term,
                                         jnp.zeros_like(term))
+        if self._stage == "matmul":
+            _debug_write(acc_h)
+            return
 
         # y-unscatter to [R, lz, lx, cx] with compensated main/tail merge
         def unscat(a):

@@ -25,6 +25,12 @@ from .chebyshev import FIRST_KIND, Chebyshev
 
 
 class GeneralMultigridSolver:
+    """Mixed-precision by default; ``pure_double=True`` selects the
+    reference's second specialization — all-double V-cycle with (by
+    convention there) fourth-kind Chebyshev smoothing on the fine levels
+    (/root/reference/common/multigrid_solver.h:789-1285, esp. 945-963),
+    which is what poisson_shell uses."""
+
     def __init__(
         self,
         mesh: MappedMesh,
@@ -37,11 +43,16 @@ class GeneralMultigridSolver:
         n_cycles: int = 1,
         v_dtype=jnp.float32,
         f_dtype=jnp.float64,
+        pure_double: bool = False,
+        chebyshev_kind: str = FIRST_KIND,
     ):
         assert n_pre == n_post
+        if pure_double:
+            v_dtype = f_dtype
         self.mesh = mesh
         self.n_cycles = n_cycles
         self._n_pre = n_pre
+        self._chebyshev_kind = chebyshev_kind
         self.v_dtype, self.f_dtype = v_dtype, f_dtype
         self.minlevel = 0
         self.maxlevel = mesh.max_level
@@ -88,7 +99,8 @@ class GeneralMultigridSolver:
             if l > self.minlevel:
                 sm = Chebyshev.create(
                     self.ops[l].vmult, inv_diag, smoothing_range=20.0,
-                    degree=n_pre, eig_cg_n_iterations=15, kind=FIRST_KIND,
+                    degree=n_pre, eig_cg_n_iterations=15,
+                    kind=chebyshev_kind,
                 )
             else:
                 sm = Chebyshev.create(
@@ -251,7 +263,8 @@ class GeneralMultigridSolver:
             max_eig, min_eig = tridiag_extremes(a, b_, o)
             if l > self.minlevel:
                 th, de, _ = interval_from_spectrum(
-                    max_eig, min_eig, 20.0, self._n_pre, FIRST_KIND
+                    max_eig, min_eig, 20.0, self._n_pre,
+                    self._chebyshev_kind,
                 )
             else:
                 th, de, n_apps = interval_from_spectrum(

@@ -1,6 +1,7 @@
 """poisson_shell (variable coefficient, curved) and minimal_surface
 (Newton) regression tests."""
 
+import pytest
 import numpy as np
 
 from experiments.poisson_shell import coef_fn, exact_fn, rhs_fn
@@ -71,3 +72,29 @@ def test_deformed_cube_manifold():
         itss.append(its)
     assert max(itss) <= 9 and abs(itss[0] - itss[1]) <= 1
     assert math.log2(errs[0] / errs[1]) > 3.2   # optimal would be 4
+
+
+def test_shell_pure_double_fourth_kind():
+    """The reference poisson_shell solver specialization: all-double
+    V-cycle + fourth-kind Chebyshev (multigrid_solver.h:789-1285, 945-963)
+    converges to the same solution; first-kind mixed stays the default."""
+    import jax.numpy as jnp
+
+    from experiments.poisson_shell import coef_fn, exact_fn, rhs_fn
+    from multigrid_tpu.mesh.shapes import hyper_shell
+    from multigrid_tpu.solvers.chebyshev import FOURTH_KIND
+    from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
+
+    mesh = hyper_shell(0.5, 1.0, n_levels=2)
+    s0 = GeneralMultigridSolver(mesh, 3, exact_fn, rhs_fn, coef_fn=coef_fn,
+                                n_pre=3, n_post=3)
+    sol0, its0, _ = s0.solve_cg()
+    e0 = float(s0.l2_error(s0.maxlevel, sol0))
+    s1 = GeneralMultigridSolver(mesh, 3, exact_fn, rhs_fn, coef_fn=coef_fn,
+                                n_pre=3, n_post=3, pure_double=True,
+                                chebyshev_kind=FOURTH_KIND)
+    assert s1.v_dtype == jnp.float64           # all-double cycle
+    sol1, its1, _ = s1.solve_cg()
+    e1 = float(s1.l2_error(s1.maxlevel, sol1))
+    assert e1 == pytest.approx(e0, rel=1e-9)   # same converged solution
+    assert its1 <= 2 * its0                    # 4th kind trades rate/cost
