@@ -117,25 +117,37 @@ class PallasFusedOzaki:
         ml, tl = parts(wl)
         return df64_add(mh, ml, th, tl)
 
+    def _zy_window(self, a):
+        """[Z, Y, n(lx), cx] -> [cz, nyc, n(lz), R, n(lx), cx] blocked slabs.
+
+        Pre-windows z and y in XLA so the kernel's inputs are
+        NON-OVERLAPPING blocks that Mosaic pipelines automatically
+        (a manual in-kernel DMA with a 2-D-sliced source faults at runtime
+        on v5e, measured) — duplication cost is one z-plane per slab
+        (25%) and one y-row per chunk (<1%)."""
+        Z, Y = self.Z, self.Y
+        n, p = self.n, self.p
+        cz, cy_b, nyc = self.cz, self.cy_b, self.nyc
+        R = cy_b * p + 1
+        m = a[: Z - 1].reshape(cz, p, Y, n, self.cx)
+        t = a[1:].reshape(cz, p, Y, n, self.cx)[:, p - 1 : p]
+        w = jnp.concatenate([m, t], axis=1)        # [cz, n(lz), Y, lx, cx]
+        m = w[:, :, : Y - 1].reshape(cz, n, nyc, cy_b * p, n, self.cx)
+        t = w[:, :, 1:].reshape(cz, n, nyc, cy_b * p, n, self.cx)[
+            :, :, :, cy_b * p - 1 : cy_b * p]
+        w = jnp.concatenate([m, t], axis=3)        # [cz, lz, nyc, R, lx, cx]
+        return w.transpose(0, 2, 1, 3, 4, 5)       # [cz, nyc, lz, R, lx, cx]
+
     # ------------------------------------------------------------- kernel
-    def _kernel(self, xwh_hbm, xwl_hbm, kst_ref, outh_ref, outl_ref,
-                sh, sl, sem):
-        zi = pl.program_id(0)
+    def _kernel(self, xh_ref, xl_ref, kst_ref, outh_ref, outl_ref):
         yj = pl.program_id(1)
         p, n, N = self.p, self.n, self.N
         cy_b, cx = self.cy_b, self.cx
         R = cy_b * p + 1
         F = cy_b * cx
         rows0 = yj * (cy_b * p)
-
-        cp = pltpu.make_async_copy(
-            xwh_hbm.at[pl.ds(zi * p, n), pl.ds(rows0, R)], sh, sem)
-        cp.start()
-        cp.wait()
-        cp = pltpu.make_async_copy(
-            xwl_hbm.at[pl.ds(zi * p, n), pl.ds(rows0, R)], sl, sem)
-        cp.start()
-        cp.wait()
+        sh = xh_ref[0, 0]
+        sl = xl_ref[0, 0]
 
         def rows(s):
             # s: [n(lz), R, n(lx), cx] -> [N, F] cell-dof rows
@@ -145,8 +157,8 @@ class PallasFusedOzaki:
             w = w.transpose(0, 2, 3, 1, 4)             # [lz, ly, lx, cy_b, cx]
             return w.reshape(N, F)
 
-        uh = rows(sh[...])
-        ul = rows(sl[...])
+        uh = rows(sh)
+        ul = rows(sl)
 
         def _debug_write(a_flat):
             """Write a [N, F] f32 block into the output rows (bisection)."""
@@ -238,12 +250,19 @@ class PallasFusedOzaki:
         R = self.cy_b * self.p + 1
         flops = 2 * sum((m + 1) for m in range(_MAX_M + 1)) * self.N**2 \
             * self.cy * self.cx * cz
+        zwh = self._zy_window(xwh)
+        zwl = self._zy_window(xwl)
+        in_spec = pl.BlockSpec(
+            (1, 1, n, R, n, cx),
+            lambda zi, yj: (zi, yj, _I0, _I0, _I0, _I0),
+            memory_space=pltpu.VMEM,
+        )
         return pl.pallas_call(
             self._kernel,
             grid=(cz, self.nyc),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                in_spec,
+                in_spec,
                 pl.BlockSpec((self.off[-1], self.N),
                              lambda zi, yj: (_I0, _I0),
                              memory_space=pltpu.VMEM),
@@ -257,11 +276,6 @@ class PallasFusedOzaki:
                              memory_space=pltpu.VMEM),
             ),
             out_shape=out_shapes,
-            scratch_shapes=[
-                pltpu.VMEM((n, R, n, cx), jnp.float32),
-                pltpu.VMEM((n, R, n, cx), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
                 bytes_accessed=xwh.size * 8 + cz * Y * n * n * cx * 8,
@@ -273,7 +287,7 @@ class PallasFusedOzaki:
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=self.interpret,
-        )(xwh, xwl, self.Kstack)
+        )(zwh, zwl, self.Kstack)
 
     # -------------------------------------------------------------- apply
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
