@@ -176,3 +176,136 @@ class HaloLaplace:
             shard_map(body, mesh=self.mesh, in_specs=(P(self.axis), P(self.axis)),
                       out_specs=P(self.axis))
         )
+
+
+class HaloLaplace2D:
+    """('z','y')-decomposed FE_Q Laplace vmult with explicit two-axis halo
+    exchange: dimension-by-dimension compress(add) then ghost update, four
+    one-plane ppermutes per application.  Corner partials route through
+    the z-pass then the y-pass automatically (fixed exchange order), the
+    same schedule a 2-D MPI rank grid uses with deal.II's partitioner
+    (/root/reference/common/laplace_operator.h:568-590)."""
+
+    def __init__(self, op: LaplaceOperator, mesh: Mesh,
+                 axes: tuple[str, str] = ("z", "y")):
+        self.op = op
+        self.mesh = mesh
+        self.axes = axes
+        grid = op.grid
+        p = grid.degree
+        self.nd = tuple(mesh.shape[a] for a in axes)
+        for d, a in enumerate(axes):
+            assert grid.cells[d] % self.nd[d] == 0
+        self.loc_cells = tuple(grid.cells[d] // self.nd[d] for d in range(2))
+        self.loc_n = tuple(c * p + 1 for c in self.loc_cells)
+
+    # ------------------------------------------------- layout conversions
+    def _rows(self, d, dev):
+        p = self.op.grid.degree
+        return np.arange(dev * self.loc_cells[d] * p,
+                         dev * self.loc_cells[d] * p + self.loc_n[d])
+
+    def distribute(self, u: jnp.ndarray) -> jnp.ndarray:
+        """[Z, Y, X] -> [ndz, ndy, loc_nz, loc_ny, X] with duplicated
+        shared planes, sharded over the 2-D device mesh."""
+        ndz, ndy = self.nd
+        blocks = np.empty((ndz, ndy, self.loc_n[0], self.loc_n[1], u.shape[2]),
+                          np.asarray(u).dtype)
+        un = np.asarray(u)
+        for dz in range(ndz):
+            for dy in range(ndy):
+                blocks[dz, dy] = un[np.ix_(self._rows(0, dz),
+                                           self._rows(1, dy))]
+        return jax.device_put(
+            blocks, NamedSharding(self.mesh, P(self.axes[0], self.axes[1])))
+
+    def collect(self, v: jnp.ndarray) -> jnp.ndarray:
+        vn = np.asarray(v)
+        ndz, ndy = self.nd
+        rows_z = [np.arange(0 if dz == 0 else 1, self.loc_n[0])
+                  for dz in range(ndz)]
+        out = np.concatenate(
+            [np.concatenate(
+                [vn[dz, dy][np.ix_(rows_z[dz],
+                                   np.arange(0 if dy == 0 else 1,
+                                             self.loc_n[1]))]
+                 for dy in range(ndy)], axis=1)
+             for dz in range(ndz)], axis=0)
+        return jnp.asarray(out)
+
+    # ---------------------------------------------------------- operators
+    def vmult_distributed(self, comm: bool = True):
+        op = self.op
+        az, ay = self.axes
+        ndz, ndy = self.nd
+        interior = np.asarray(~op.grid.boundary_mask())
+        masks = np.empty((ndz, ndy, self.loc_n[0], self.loc_n[1],
+                          interior.shape[2]), bool)
+        for dz in range(ndz):
+            for dy in range(ndy):
+                masks[dz, dy] = interior[np.ix_(self._rows(0, dz),
+                                                self._rows(1, dy))]
+        masks = jax.device_put(
+            jnp.asarray(masks), NamedSharding(self.mesh, P(az, ay)))
+        fwd_z = [(i, (i + 1) % ndz) for i in range(ndz)]
+        bwd_z = [(i, (i - 1) % ndz) for i in range(ndz)]
+        fwd_y = [(i, (i + 1) % ndy) for i in range(ndy)]
+        bwd_y = [(i, (i - 1) % ndy) for i in range(ndy)]
+
+        def body(x, m):
+            x = x[0, 0]
+            m = m[0, 0]
+            dz = jax.lax.axis_index(az)
+            dy = jax.lax.axis_index(ay)
+            xm = jnp.where(m, x, 0)
+            y = op.apply_cells(xm)
+            # compress(add), z then y (corner partials ride both passes)
+            fz = y[0]
+            from_right_z = (jax.lax.ppermute(fz, az, bwd_z) if comm
+                            else jnp.zeros_like(fz))
+            y = y.at[-1].add(jnp.where(dz < ndz - 1, 1.0, 0.0) * from_right_z)
+            fy = y[:, 0]
+            from_right_y = (jax.lax.ppermute(fy, ay, bwd_y) if comm
+                            else jnp.zeros_like(fy))
+            y = y.at[:, -1].add(jnp.where(dy < ndy - 1, 1.0, 0.0)
+                                * from_right_y)
+            # ghost updates in reverse order (y then z) so the corner
+            # reaches the diagonal neighbor through the z pass
+            ly = y[:, -1]
+            from_left_y = (jax.lax.ppermute(ly, ay, fwd_y) if comm
+                           else jnp.zeros_like(ly))
+            y = y.at[:, 0].set(jnp.where(dy > 0, from_left_y, y[:, 0]))
+            lz = y[-1]
+            from_left_z = (jax.lax.ppermute(lz, az, fwd_z) if comm
+                           else jnp.zeros_like(lz))
+            y = y.at[0].set(jnp.where(dz > 0, from_left_z, y[0]))
+            out = jnp.where(m, y, x)
+            return out[None, None]
+
+        return jax.jit(
+            jax.shard_map(body, mesh=self.mesh,
+                          in_specs=(P(az, ay), P(az, ay)),
+                          out_specs=P(az, ay))
+        ), masks
+
+    def dot_distributed(self):
+        """Owned-plane-masked global inner product (psum over both axes)."""
+        az, ay = self.axes
+
+        def body(a, b):
+            dz = jax.lax.axis_index(az)
+            dy = jax.lax.axis_index(ay)
+            a0 = a[0, 0]
+            b0 = b[0, 0]
+            wz = jnp.ones((a0.shape[0], 1, 1), a0.dtype)
+            wz = wz.at[0].set(jnp.where(dz > 0, 0.0, 1.0))
+            wy = jnp.ones((1, a0.shape[1], 1), a0.dtype)
+            wy = wy.at[:, 0].set(jnp.where(dy > 0, 0.0, 1.0))
+            s = jnp.sum(a0 * b0 * wz * wy)
+            return jax.lax.psum(jax.lax.psum(s, az), ay)[None, None]
+
+        return jax.jit(
+            jax.shard_map(body, mesh=self.mesh,
+                          in_specs=(P(az, ay), P(az, ay)),
+                          out_specs=P(az, ay))
+        )
