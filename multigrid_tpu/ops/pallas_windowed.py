@@ -1,0 +1,334 @@
+"""Windowed-pair fused dp matvec: the speed-of-light Ozaki path.
+
+The dp vector format for this operator is the X-WINDOWED f32 PAIR
+``[Z, 2, Yp, G]`` where component 0/1 are the df64 (hi, lo) planes,
+``Yp = ceil(Y/8)*8`` (sublane-aligned for sliced DMA) and ``G = (p+1)*cx``
+lanes hold the j-major x-window ``w[..., j*cx + i] = u[..., p*i + j]``
+(shared cell-boundary nodes stored twice; the j=p block duplicates the
+j=0 block shifted by one cell).  This representation removes BOTH
+measured glue walls of the f64 node-grid interface at 135M dofs:
+f64<->pair conversion (~27 ms/matvec of XLA:TPU fp64 emulation) and the
+lane-dimension window/scatter relayout (~38+50 ms in XLA, because
+cross-lane shifted access materializes padded copies).
+
+One Mosaic kernel per (z-slab, y-chunk) grid step performs:
+
+    slab DMA (1-D leading-dim slice — the only sliced-DMA form that does
+    not fault on v5e) -> lane-split 640->(5,128) -> y/z window ->
+    per-cell power-of-2 scale -> 7-bit limb split -> triangular bf16
+    group matmuls (exact f32 accumulation, 28 N x N blocks) ->
+    compensated df64 recombination -> compensated y-unscatter with a
+    sequential-carry fold of chunk-boundary rows -> in-kernel x-window
+    re-emission (lane rolls) -> one clean [lz, rows, G] block store.
+
+In-VMEM relayouts measured ~1 ms total at 513^3 (vs ~90 ms for the same
+relayouts through XLA/HBM).  Only the z-overlap fold and the boundary
+mask remain in XLA (~3 GB of clean-tiled traffic).
+
+Counterpart of the reference's hand-fused dp kernel
+(/root/reference/common/matrix_vector_kernel.h:30-216); the windowed
+persistent vector format replaces deal.II's ghosted-vector + gather
+tables (vector_access_reduced.h) with a layout the TPU lane model wants.
+Accuracy class: identical to ops/laplace_dense.DenseLaplaceOzaki (same
+limb scheme; bit-exact in interpret mode).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..mesh.brick import DofGrid
+from .df64 import df64_add, join_f64, split_f64, two_sum
+from .laplace import DiagCoef
+from .laplace_dense import (_LIMB_BITS, _MAX_M, _N_LIMBS, _split_limbs_f64,
+                            element_matrix)
+from .masks import bcast_and, interior_axes_jnp
+
+_I0 = np.int32(0)
+
+
+class PallasWindowedOzaki:
+    """dp A·u on windowed f32-pair vectors; p=4 3-D structured bricks."""
+
+    def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
+                 cy_chunk: int = 32, interpret: bool = False):
+        assert grid.dim == 3 and grid.degree == 4
+        self.grid = grid
+        self.p, self.n, self.N = 4, 5, 125
+        self.cz, self.cy, self.cx = grid.cells
+        self.Z, self.Y, self.X = grid.shape
+        self.Yp = -(-self.Y // 8) * 8
+        self.G = self.n * self.cx
+        self.interpret = interpret
+        if not interpret:
+            assert self.cx % 128 == 0, "lane tiling needs cx % 128 == 0"
+        self.cy_b = min(cy_chunk, self.cy)
+        while self.cy % self.cy_b:
+            self.cy_b -= 1
+        self.nyc = self.cy // self.cy_b
+        K = element_matrix(grid, coef)
+        sigma_K, limbs = _split_limbs_f64(K.T, _N_LIMBS)
+        self.sigma_K = float(sigma_K)
+        N = self.N
+        self.off = [0]
+        blocks = []
+        for m in range(_MAX_M + 1):
+            blocks.append(np.vstack([limbs[m - l] for l in range(m + 1)]))
+            self.off.append(self.off[-1] + (m + 1) * N)
+        self.Kstack = jnp.asarray(np.vstack(blocks), jnp.bfloat16)
+        self._interior_axes = interior_axes_jnp(grid)
+        # windowed boundary mask factors: rows (y), planes (z), lanes (x)
+        self._wmask_x = jnp.asarray(self._x_lane_mask(), jnp.float32)
+
+    def _x_lane_mask(self) -> np.ndarray:
+        """[G] 1/0 mask zeroing windowed slots that hold x-boundary nodes."""
+        m = np.ones(self.G, np.float32)
+        m[0 * self.cx + 0] = 0.0                       # j=0, i=0   -> x = 0
+        m[self.p * self.cx + self.cx - 1] = 0.0        # j=p, i=-1  -> x = X-1
+        return m
+
+    @property
+    def interior(self):
+        return bcast_and(self._interior_axes)
+
+    # -------------------------------------------------- layout conversions
+    def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
+        """f64 node grid [Z, Y, X] -> windowed pair [Z, 2, Yp, G]
+        (boundary values preserved; solver-boundary use)."""
+        Z, Y, X = self.Z, self.Y, self.X
+        p, n, cx, G, Yp = self.p, self.n, self.cx, self.G, self.Yp
+        xh, xl = split_f64(x)
+
+        def win(a):
+            m = a[..., : X - 1].reshape(Z, Y, cx, p)
+            t = a[..., 1:].reshape(Z, Y, cx, p)[..., p - 1 :]
+            w = jnp.concatenate([m, t], axis=3)        # [Z, Y, cx, n]
+            w = w.transpose(0, 1, 3, 2).reshape(Z, Y, G)
+            return jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
+
+        return jnp.stack([win(xh), win(xl)], axis=1)
+
+    def from_windowed(self, w: jnp.ndarray) -> jnp.ndarray:
+        """Windowed pair [Z, 2, Yp, G] -> f64 node grid [Z, Y, X]."""
+        Z, Y, X = self.Z, self.Y, self.X
+        p, n, cx, G = self.p, self.n, self.cx, self.G
+
+        def unwin(a):                                   # [Z, Y, G] -> [Z,Y,X]
+            v = a.reshape(Z, Y, n, cx)
+            main = v[:, :, :p].transpose(0, 1, 3, 2).reshape(Z, Y, cx * p)
+            last = v[:, :, p, cx - 1 : cx]
+            return jnp.concatenate([main, last], axis=-1)
+
+        return join_f64(unwin(w[:, 0, : Y]), unwin(w[:, 1, : Y]))
+
+    def dup_weights(self) -> jnp.ndarray:
+        """[G] weights for inner products on windowed vectors: j=p slots are
+        duplicates of j=0 shifted (weight 0) except the global last node."""
+        w = np.ones(self.G, np.float32)
+        w[self.p * self.cx :] = 0.0
+        w[self.p * self.cx + self.cx - 1] = 1.0
+        return jnp.asarray(w)
+
+    # -------------------------------------------------------------- kernel
+    def _kernel(self, x_hbm, kst_ref, out_ref, slab, carry_h, carry_l, sem):
+        zi = pl.program_id(0)
+        yj = pl.program_id(1)
+        p, n, N = self.p, self.n, self.N
+        cy_b, cx, G = self.cy_b, self.cx, self.G
+        R = cy_b * p + 1
+        F = cy_b * cx
+
+        @pl.when(yj == 0)
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[pl.ds(zi * p, n)], slab, sem)
+            cp.start()
+            cp.wait()
+
+        rows0 = yj * cy_b * p
+        sh = slab[:, 0, pl.ds(rows0, R)]               # [n, R, G]
+        sl = slab[:, 1, pl.ds(rows0, R)]
+
+        def rows(s):
+            s4 = s.reshape(n, R, n, cx)                # lane split
+            m_ = s4[:, : R - 1].reshape(n, cy_b, p, n, cx)
+            t_ = s4[:, 1:].reshape(n, cy_b, p, n, cx)[:, :, p - 1 : p]
+            w = jnp.concatenate([m_, t_], axis=2)      # [lz, cy_b, ly, lx, cx]
+            w = w.transpose(0, 2, 3, 1, 4)             # [lz, ly, lx, cy_b, cx]
+            return w.reshape(N, F)
+
+        uh = rows(sh)
+        ul = rows(sl)
+        s_ = jnp.max(jnp.abs(uh), axis=0, keepdims=True)
+        sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(s_, 1e-30))))
+        sigma = jnp.where(s_ > 0, sigma, 1.0)          # [1, F]
+        rh = uh / sigma
+        rl = ul / sigma
+        limbs = []
+        for k in range(_N_LIMBS):
+            scale = np.float32(2.0 ** (_LIMB_BITS * (k + 1)))
+            inv = np.float32(2.0 ** (-_LIMB_BITS * (k + 1)))
+            chopped = jnp.round(rh * scale) * inv
+            rh = rh - chopped                          # exact (aligned grids)
+            rh, rl = two_sum(rh, rl)
+            limbs.append(
+                (chopped * np.float32(2.0 ** (_LIMB_BITS * k))
+                 ).astype(jnp.bfloat16))
+        big = jnp.concatenate(limbs, axis=0)           # [7N, F] bf16
+
+        acc_h = acc_l = None
+        for m in range(_MAX_M + 1):
+            Km = kst_ref[self.off[m] : self.off[m + 1], :]
+            Ym = jax.lax.dot_general(
+                Km, big[: (m + 1) * N],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [N, F] exact f32
+            delta = np.float32(self.sigma_K * 2.0 ** (-_LIMB_BITS * m))
+            term = Ym * delta * sigma
+            if acc_h is None:
+                acc_h, acc_l = term, jnp.zeros_like(term)
+            else:
+                acc_h, acc_l = df64_add(acc_h, acc_l, term,
+                                        jnp.zeros_like(term))
+
+        # y-unscatter with chunk-boundary carry: rows [cy_b*p, lz, lx, cx]
+        def y_parts(a):
+            w = a.reshape(n, n, n, cy_b, cx)           # [lz, ly, lx, cy_b, cx]
+            w = w.transpose(3, 1, 0, 2, 4)             # [cy_b, ly, lz, lx, cx]
+            main = w[:, :p].reshape(cy_b * p, n, n, cx)
+            tail = w[:, p]                             # [cy_b, lz, lx, cx]
+            # tail of cell k adds at row (k+1)*p: shift by one cell
+            tsh = jnp.concatenate(
+                [jnp.zeros((1, n, n, cx), a.dtype), tail[: cy_b - 1]], axis=0)
+            tpad = jnp.concatenate(
+                [tsh[:, None], jnp.zeros((cy_b, p - 1, n, n, cx), a.dtype)],
+                axis=1).reshape(cy_b * p, n, n, cx)
+            return main, tpad, tail[cy_b - 1]
+
+        mh, th, tl_h = y_parts(acc_h)
+        ml, tl, tl_l = y_parts(acc_l)
+        yh, yl = df64_add(mh, ml, th, tl)              # [rows, lz, lx, cx]
+
+        # fold the incoming carry (previous chunk's boundary row) into row 0;
+        # the grid iterates yj innermost/sequentially, so the carry scratch
+        # holds the previous chunk's boundary row of the SAME slab.  At
+        # yj == 0 the scratch is stale (previous slab) -> select 0.
+        cin_h = jnp.where(yj > 0, carry_h[...], 0.0)   # [n, n, cx]
+        cin_l = jnp.where(yj > 0, carry_l[...], 0.0)
+        r0h, r0l = df64_add(yh[0], yl[0], cin_h, cin_l)
+        yh = jnp.concatenate([r0h[None], yh[1:]], axis=0)   # .at[0].set emits
+        yl = jnp.concatenate([r0l[None], yl[1:]], axis=0)   # scatter: no TC
+
+        carry_h[...] = tl_h
+        carry_l[...] = tl_l
+
+        # x-window re-emission: w[j*cx+i] = y[p*i+j]; shared nodes (j=0)
+        # combine two cells' partials -> compensated add.  All concat inputs
+        # must share sublane offset 0 (Mosaic rejects offset mismatch on
+        # non-concat dims), so the j-blocks come from ONE contiguous
+        # sublane->lane reshape and the j=0 combine is a zero-padded add.
+        _one = np.int32(1)                             # i64 shifts break Mosaic
+        _cxm1 = np.int32(cx - 1)
+        RW = cy_b * p
+        mh_, ml_ = (a[:, :, :p].reshape(RW, n, p * cx) for a in (yh, yl))
+        tail_h = pltpu.roll(yh[:, :, p], _one, 2)      # cell i-1 tail -> cell i
+        tail_l = pltpu.roll(yl[:, :, p], _one, 2)
+        zpad = jnp.zeros((RW, n, (p - 1) * cx), jnp.float32)
+        wh_, wl_ = df64_add(mh_, ml_,
+                            jnp.concatenate([tail_h, zpad], axis=-1),
+                            jnp.concatenate([tail_l, zpad], axis=-1))
+        wph = pltpu.roll(wh_[:, :, :cx], _cxm1, 2)     # i+1 duplicate block
+        wpl = pltpu.roll(wl_[:, :, :cx], _cxm1, 2)
+        wh = jnp.concatenate([wh_, wph], axis=-1)
+        wl = jnp.concatenate([wl_, wpl], axis=-1)
+        out_ref[0, :, 0, 0] = wh.transpose(1, 0, 2)    # [lz, rows, G]
+        out_ref[0, :, 1, 0] = wl.transpose(1, 0, 2)
+
+    def _fused(self, xw):
+        n, G, cy_b = self.n, self.G, self.cy_b
+        cz, nyc = self.cz, self.nyc
+        rows = cy_b * self.p
+        out_shape = jax.ShapeDtypeStruct((cz, n, 2, nyc, rows, G), jnp.float32)
+        flops = 2 * sum((m + 1) for m in range(_MAX_M + 1)) * self.N**2 \
+            * self.cy * self.cx * cz
+        return pl.pallas_call(
+            self._kernel,
+            grid=(cz, nyc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((self.off[-1], self.N),
+                             lambda zi, yj: (_I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n, 2, 1, rows, G),
+                lambda zi, yj: (zi, _I0, _I0, yj, _I0, _I0),
+                memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n, 2, self.Yp, G), jnp.float32),
+                pltpu.VMEM((n, n, self.cx), jnp.float32),
+                pltpu.VMEM((n, n, self.cx), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=xw.size * 4 + cz * n * 2 * nyc * rows * G * 4,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xw, self.Kstack)
+
+    # ---------------------------------------------------------- pair apply
+    def vmult_windowed(self, xw: jnp.ndarray) -> jnp.ndarray:
+        """Windowed pair in/out; ASSUMES boundary-zero input (the dp solve
+        invariant) and returns a boundary-zero result."""
+        p, n, G = self.p, self.n, self.G
+        cz, Y, Yp = self.cz, self.Y, self.Yp
+        o = self._fused(xw)                            # [cz, n, 2, nyc, r, G]
+        o = o.reshape(cz, n, 2, self.nyc * self.cy_b * p, G)
+        # z-overlap compensated fold (slab zi plane lz -> z = zi*p + lz):
+        # main planes shifted-padded against the tail planes, exactly the
+        # node-grid zfold of the dense path (ops/laplace_dense.py)
+        mh = o[:, :p, 0].reshape(cz * p, Y - 1, G)
+        ml = o[:, :p, 1].reshape(cz * p, Y - 1, G)
+        th = jnp.concatenate(
+            [jnp.zeros((cz, p - 1, Y - 1, G), jnp.float32), o[:, p:, 0]],
+            axis=1).reshape(cz * p, Y - 1, G)
+        tl = jnp.concatenate(
+            [jnp.zeros((cz, p - 1, Y - 1, G), jnp.float32), o[:, p:, 1]],
+            axis=1).reshape(cz * p, Y - 1, G)
+        pad_m = ((0, 1), (0, 0), (0, 0))
+        pad_t = ((1, 0), (0, 0), (0, 0))
+        zh, zl = df64_add(jnp.pad(mh, pad_m), jnp.pad(ml, pad_m),
+                          jnp.pad(th, pad_t), jnp.pad(tl, pad_t))  # [Z, Y-1, G]
+        # boundary zeroing: z in {0, Z-1}, y row 0 (row Y-1 was the dropped
+        # carry; appended back as zero by the pad), windowed x slots
+        zmask = jnp.ones((Z := cz * p + 1, 1, 1), jnp.float32)
+        zmask = zmask.at[0].set(0.0).at[Z - 1].set(0.0)
+        ymask = jnp.ones((1, Y - 1, 1), jnp.float32).at[:, 0].set(0.0)
+        xmask = self._wmask_x[None, None, :]
+        zh = zh * zmask * ymask * xmask
+        zl = zl * zmask * ymask * xmask
+        pad = ((0, 0), (0, Yp - Y + 1), (0, 0))
+        return jnp.stack([jnp.pad(zh, pad), jnp.pad(zl, pad)], axis=1)
+
+    # ----------------------------------------------------- f64 convenience
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        """f64 node-grid interface (conversion included; solver hot paths
+        should use vmult_windowed on persistent windowed pairs)."""
+        xm = jnp.where(self.interior, src, 0)
+        yw = self.vmult_windowed(self.to_windowed(xm))
+        y = self.from_windowed(yw)
+        return jnp.where(self.interior, y, src)
+
+    def vmult_residual(self, rhs, lhs):
+        y = self.vmult(jnp.where(self.interior, lhs, 0))
+        y = jnp.where(self.interior, y, 0)
+        return jnp.where(self.interior, rhs - y, rhs - lhs)
