@@ -12,6 +12,12 @@ with the V-cycle preconditioner, and a halving line search
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # noqa: E402  (repo-root import when run as a script)
+
+
 import argparse
 import time
 

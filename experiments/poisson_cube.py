@@ -9,6 +9,12 @@ FMG + CG benchmarks with the same convergence-table schema.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # noqa: E402  (repo-root import when run as a script)
+
+
 import argparse
 import time
 
@@ -48,16 +54,36 @@ def build_solver(mesh: BrickMesh, degree: int, n_pre: int = 2, n_post: int = 2,
     )
 
 
+def resolve_dp_impl(dp_impl: str = "auto") -> str:
+    """"auto" = the fused windowed-pair Mosaic dp path on TPU (engages on
+    eligible grids, XLA Ozaki otherwise), plain XLA Ozaki elsewhere."""
+    if dp_impl != "auto":
+        return dp_impl
+    import jax
+
+    return ("pallas_windowed" if jax.default_backend() == "tpu"
+            else "ozaki_chunked")
+
+
 def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
               n_post: int, n_fmg_repeat: int = 3, n_cg_repeat: int = 3,
               n_matvec: int = 50, verbose: bool = True,
-              n_devices: int = 0) -> dict:
+              n_devices: int = 0, dp_impl: str = "auto") -> dict:
     """One row of the reference convergence table
     (/root/reference/poisson_cube/program.cc:255-401)."""
     import jax
     import jax.numpy as jnp
 
-    solver = build_solver(mesh, degree, n_pre, n_post, n_cycles)
+    import sys as _s
+
+    def _phase(msg):
+        print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=_s.stderr,
+              flush=True)
+
+    _phase("setup...")
+    solver = build_solver(mesh, degree, n_pre, n_post, n_cycles,
+                          dp_impl=resolve_dp_impl(dp_impl))
+    _phase("setup done")
     if n_devices > 1:
         # domain-decomposed solves over a device mesh (GSPMD per level)
         from multigrid_tpu.parallel.distributed import DistributedMultigrid
@@ -77,8 +103,10 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
         sol = solver.solve()
         sol.block_until_ready()
         best = min(best, time.perf_counter() - t0)
+        _phase(f"fmg rep: {time.perf_counter()-t0:.3f} s")
     row["fmg_time"] = best
     _, report, reduction = solver.solve_analyze()
+    _phase("analyze done")
     row["reduction"] = reduction
     row["fmg_L2error"] = solver.l2_error(solver.maxlevel, sol)
     if verbose and grid.n_dofs < 100_000_000:
@@ -119,6 +147,7 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
         sol_cg, its, red = solver.solve_cg()
         sol_cg.block_until_ready()
         best_cg = min(best_cg, time.perf_counter() - t0)
+        _phase(f"cg rep: {time.perf_counter()-t0:.3f} s ({its} its)")
     row["cg_time"] = best_cg
     row["cg_its"] = its
     row["cg_reduction"] = red
@@ -130,6 +159,9 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
         ("mv_inner", solver.do_matvec_smoother, solver.v_dtype),
     ]:
         x = jnp.asarray(np.random.default_rng(0).normal(size=grid.shape), dtype)
+        if name == "mv_outer":
+            x = solver.matvec_native(x)   # one-time layout conversion,
+            #                               outside the timed loop
         fn(x).block_until_ready()
         best_mv = np.inf
         for _ in range(3):
@@ -210,6 +242,9 @@ def main():
     ap.add_argument("--deform", action="store_true",
                     help="sinusoidally deformed cube via the mapped-mesh "
                          "path (reference MyManifold, program.cc:405-484)")
+    ap.add_argument("--dp-impl", default="auto",
+                    help="dp operator implementation (auto = fused "
+                         "windowed-pair Mosaic kernel on TPU)")
     args = ap.parse_args()
 
     if args.deform:
@@ -233,7 +268,7 @@ def main():
         print(f"Cycle {cycle}: {mesh.cells(mesh.max_level)} cells, {grid_dofs} dofs")
         rows.append(run_cycle(mesh, args.degree, args.n_mg_cycles,
                               args.n_pre_smooth, args.n_post_smooth,
-                              n_devices=args.devices))
+                              n_devices=args.devices, dp_impl=args.dp_impl))
         # drop the finished cycle's executables/buffers: accumulated device
         # state from earlier ladder sizes otherwise OOMs the 135M setup
         import gc

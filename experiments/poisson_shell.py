@@ -9,6 +9,12 @@ coarse shells per cycle as the reference does (program.cc:424-431).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # noqa: E402  (repo-root import when run as a script)
+
+
 import argparse
 import time
 

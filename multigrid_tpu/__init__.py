@@ -9,3 +9,21 @@ device-mesh sharding via jax.sharding for multi-chip runs.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: flagship-size programs cost 30-130 s of
+# (remote) compile each; caching them on disk makes repeat solver setups and
+# benchmark reruns near-instant.  Harmless where the backend can't serialize
+# executables (jax logs and skips).  Opt out with MGT_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("MGT_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("MGT_COMPILE_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/multigrid_tpu_xla")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without these flags
+        pass

@@ -415,6 +415,19 @@ def compute_rhs_host(grid: DofGrid, rhs_fn, u_bc_np: np.ndarray,
     qz, qy, qx = (np.asarray(grid.axis_quads[d], np.float64) for d in range(3))
     from numpy.lib.stride_tricks import sliding_window_view
 
+    # both per-cell actions collapse to one [N, *] dgemm each: the mass
+    # action M f = S3^T diag(w3 JxW) f_quad and the exact element stiffness
+    # K u_cell (laplace_dense.element_matrix).  The axis-by-axis tensordot
+    # sweeps this replaces ran ~20 tiny-K memory-bound passes per slab
+    # (~200 s single-core at the 135M flagship); two K=125 dgemms take ~10 s.
+    from .laplace_dense import element_matrix
+
+    N = n ** 3
+    S3 = np.kron(np.kron(S, S), S)                     # [Q, N] z-major
+    W = S3.T * (w3.ravel() * jxw)[None, :]             # [N, Q]
+    K_el = element_matrix(grid, coef)                  # [N, N]
+    del D  # collocation derivative folded into K_el
+
     out = np.zeros(grid.shape, np.float64)
     u = np.asarray(u_bc_np, np.float64)
     ubc_zero = not np.any(u)
@@ -428,28 +441,15 @@ def compute_rhs_host(grid: DofGrid, rhs_fn, u_bc_np: np.ndarray,
         ]
         fq = np.broadcast_to(np.asarray(rhs_fn(coords), np.float64),
                              (cz, ncy, ncx, n, n, n))
-        y = fq * (w3 * jxw)
-        for d in range(3):
-            y = _contract_axis_host(y, S.T, 3 + d)
-        # --- minus A u_bc (gather -> quad -> gradients -> merged coef ->
-        #     transpose sweeps), skipped when the boundary data is zero
+        y2 = fq.reshape(cz * ncy * ncx, N) @ W.T
+        # --- minus A u_bc per cell, skipped when the boundary data is zero
         if not ubc_zero:
             rows = u[z0 * p : (z0 + cz) * p + 1]
             w = sliding_window_view(rows, n, axis=0)[::p]
             w = sliding_window_view(w, n, axis=1)[:, ::p]
             w = sliding_window_view(w, n, axis=2)[:, :, ::p]
-            uq = np.asarray(w)
-            for d in range(3):
-                uq = _contract_axis_host(uq, S, 3 + d)
-            acc = None
-            for d in range(3):
-                g = _contract_axis_host(uq, D, 3 + d)
-                g = g * (coef.values[d] * w3)
-                g = _contract_axis_host(g, D.T, 3 + d)
-                acc = g if acc is None else acc + g
-            for d in range(3):
-                acc = _contract_axis_host(acc, S.T, 3 + d)
-            y = y - acc
+            y2 -= np.ascontiguousarray(w).reshape(-1, N) @ K_el.T
+        y = y2.reshape(cz, ncy, ncx, n, n, n)
         # --- scatter-add the slab (pairs [cz,nz], [ncy,ny], [ncx,nx])
         t = y.transpose(0, 3, 1, 4, 2, 5)       # [cz, nz, ncy, ny, ncx, nx]
         t = _scatter_pair_host(t, p)            # [cz, nz, ncy, ny, X]

@@ -82,7 +82,9 @@ class PallasWindowedOzaki:
         self.Kstack = jnp.asarray(np.vstack(blocks), jnp.bfloat16)
         self._interior_axes = interior_axes_jnp(grid)
         # windowed boundary mask factors: rows (y), planes (z), lanes (x)
-        self._wmask_x = jnp.asarray(self._x_lane_mask(), jnp.float32)
+        # numpy (not jnp): the kernel bakes it as a literal — a traced
+        # constant would trip the pallas captured-consts check
+        self._wmask_x = self._x_lane_mask()
 
     def _x_lane_mask(self) -> np.ndarray:
         """[G] 1/0 mask zeroing windowed slots that hold x-boundary nodes."""
@@ -134,7 +136,8 @@ class PallasWindowedOzaki:
         return jnp.asarray(w)
 
     # -------------------------------------------------------------- kernel
-    def _kernel(self, x_hbm, kst_ref, out_ref, slab, carry_h, carry_l, sem):
+    def _kernel(self, x_hbm, kst_ref, out_ref, slab, carry_h, carry_l,
+                zcarry_h, zcarry_l, sem):
         zi = pl.program_id(0)
         yj = pl.program_id(1)
         p, n, N = self.p, self.n, self.N
@@ -243,16 +246,51 @@ class PallasWindowedOzaki:
                             jnp.concatenate([tail_l, zpad], axis=-1))
         wph = pltpu.roll(wh_[:, :, :cx], _cxm1, 2)     # i+1 duplicate block
         wpl = pltpu.roll(wl_[:, :, :cx], _cxm1, 2)
-        wh = jnp.concatenate([wh_, wph], axis=-1)
-        wl = jnp.concatenate([wl_, wpl], axis=-1)
-        out_ref[0, :, 0, 0] = wh.transpose(1, 0, 2)    # [lz, rows, G]
-        out_ref[0, :, 1, 0] = wl.transpose(1, 0, 2)
+        wh = jnp.concatenate([wh_, wph], axis=-1).transpose(1, 0, 2)
+        wl = jnp.concatenate([wl_, wpl], axis=-1).transpose(1, 0, 2)
+        # [lz, RW, G]
+
+        # ---- in-kernel z-overlap fold (replaces an XLA pass chain whose
+        # temps cost ~4 GB at 513^3): slab zi's plane lz == p is plane
+        # lz == 0 of slab zi+1.  zi iterates OUTERMOST and sequentially, so
+        # a [cy*p, G] scratch row-range per y-chunk carries the boundary
+        # plane to the next slab.  Boundary masks fold in here too: the
+        # carried-out global top plane (z = Z-1) is simply never emitted,
+        # plane z = 0 is zeroed via the zi == 0 carry select, and the
+        # global y = 0 row / windowed x slots are masked arithmetically.
+        rows0 = yj * RW
+        cin_zh = jnp.where(zi > 0, zcarry_h[pl.ds(rows0, RW), :], 0.0)
+        cin_zl = jnp.where(zi > 0, zcarry_l[pl.ds(rows0, RW), :], 0.0)
+        zcarry_h[pl.ds(rows0, RW), :] = wh[p]
+        zcarry_l[pl.ds(rows0, RW), :] = wl[p]
+        p0h, p0l = df64_add(wh[0], wl[0], cin_zh, cin_zl)
+        # mask: global z = 0 plane (whole first emitted plane of slab 0),
+        # global y = 0 row (row 0 of chunk 0 in EVERY slab), windowed x
+        # boundary slots
+        _f0, _f1 = np.float32(0.0), np.float32(1.0)   # bare 0.0/1.0 would
+        #                           trace as f64 under x64 -> 64-bit vectors
+        #                           crash Mosaic's layout inference
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (RW, G), 0)
+        ymask = jnp.where((yj == 0) & (row_ids == 0), _f0, _f1)
+        zmask0 = jnp.where(zi == 0, _f0, _f1)
+        # x boundary slots are lanes 0 (j=0,i=0 -> x=0) and G-1 (j=p,
+        # i=cx-1 -> x=X-1); built from iota (array constants can't be
+        # captured by a pallas kernel)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (RW, G), 1)
+        xm = jnp.where((lane_ids == 0) | (lane_ids == G - 1), _f0, _f1)
+        p0h = p0h * (zmask0 * ymask * xm)
+        p0l = p0l * (zmask0 * ymask * xm)
+        bh = jnp.concatenate([p0h[None], wh[1:p] * (ymask * xm)[None]], axis=0)
+        bl = jnp.concatenate([p0l[None], wl[1:p] * (ymask * xm)[None]], axis=0)
+        out_ref[0, :, 0, 0] = bh                       # [p, RW, G]
+        out_ref[0, :, 1, 0] = bl
 
     def _fused(self, xw):
         n, G, cy_b = self.n, self.G, self.cy_b
+        p = self.p
         cz, nyc = self.cz, self.nyc
-        rows = cy_b * self.p
-        out_shape = jax.ShapeDtypeStruct((cz, n, 2, nyc, rows, G), jnp.float32)
+        rows = cy_b * p
+        out_shape = jax.ShapeDtypeStruct((cz, p, 2, nyc, rows, G), jnp.float32)
         flops = 2 * sum((m + 1) for m in range(_MAX_M + 1)) * self.N**2 \
             * self.cy * self.cx * cz
         return pl.pallas_call(
@@ -265,7 +303,7 @@ class PallasWindowedOzaki:
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, n, 2, 1, rows, G),
+                (1, p, 2, 1, rows, G),
                 lambda zi, yj: (zi, _I0, _I0, yj, _I0, _I0),
                 memory_space=pltpu.VMEM),
             out_shape=out_shape,
@@ -273,11 +311,13 @@ class PallasWindowedOzaki:
                 pltpu.VMEM((n, 2, self.Yp, G), jnp.float32),
                 pltpu.VMEM((n, n, self.cx), jnp.float32),
                 pltpu.VMEM((n, n, self.cx), jnp.float32),
+                pltpu.VMEM((self.cy * p, G), jnp.float32),
+                pltpu.VMEM((self.cy * p, G), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
-                bytes_accessed=xw.size * 4 + cz * n * 2 * nyc * rows * G * 4,
+                bytes_accessed=xw.size * 4 + cz * p * 2 * nyc * rows * G * 4,
                 transcendentals=0,
             ),
             compiler_params=pltpu.CompilerParams(
@@ -288,36 +328,22 @@ class PallasWindowedOzaki:
     # ---------------------------------------------------------- pair apply
     def vmult_windowed(self, xw: jnp.ndarray) -> jnp.ndarray:
         """Windowed pair in/out; ASSUMES boundary-zero input (the dp solve
-        invariant) and returns a boundary-zero result."""
-        p, n, G = self.p, self.n, self.G
+        invariant) and returns a boundary-zero result.  The z-overlap fold
+        and boundary masks live in the kernel; the XLA tail is one reshape
+        (layout-preserving) plus one zero-pad for the top z plane and the
+        sublane-alignment y rows."""
+        p, G = self.p, self.G
         cz, Y, Yp = self.cz, self.Y, self.Yp
-        o = self._fused(xw)                            # [cz, n, 2, nyc, r, G]
-        o = o.reshape(cz, n, 2, self.nyc * self.cy_b * p, G)
-        # z-overlap compensated fold (slab zi plane lz -> z = zi*p + lz):
-        # main planes shifted-padded against the tail planes, exactly the
-        # node-grid zfold of the dense path (ops/laplace_dense.py)
-        mh = o[:, :p, 0].reshape(cz * p, Y - 1, G)
-        ml = o[:, :p, 1].reshape(cz * p, Y - 1, G)
-        th = jnp.concatenate(
-            [jnp.zeros((cz, p - 1, Y - 1, G), jnp.float32), o[:, p:, 0]],
-            axis=1).reshape(cz * p, Y - 1, G)
-        tl = jnp.concatenate(
-            [jnp.zeros((cz, p - 1, Y - 1, G), jnp.float32), o[:, p:, 1]],
-            axis=1).reshape(cz * p, Y - 1, G)
-        pad_m = ((0, 1), (0, 0), (0, 0))
-        pad_t = ((1, 0), (0, 0), (0, 0))
-        zh, zl = df64_add(jnp.pad(mh, pad_m), jnp.pad(ml, pad_m),
-                          jnp.pad(th, pad_t), jnp.pad(tl, pad_t))  # [Z, Y-1, G]
-        # boundary zeroing: z in {0, Z-1}, y row 0 (row Y-1 was the dropped
-        # carry; appended back as zero by the pad), windowed x slots
-        zmask = jnp.ones((Z := cz * p + 1, 1, 1), jnp.float32)
-        zmask = zmask.at[0].set(0.0).at[Z - 1].set(0.0)
-        ymask = jnp.ones((1, Y - 1, 1), jnp.float32).at[:, 0].set(0.0)
-        xmask = self._wmask_x[None, None, :]
-        zh = zh * zmask * ymask * xmask
-        zl = zl * zmask * ymask * xmask
-        pad = ((0, 0), (0, Yp - Y + 1), (0, 0))
-        return jnp.stack([jnp.pad(zh, pad), jnp.pad(zl, pad)], axis=1)
+        # barriers pin the kernel operand/result as standalone values: when
+        # XLA fuses the layout conversions into the same program as the
+        # custom call, its layout/fusion choices around the call miscompile
+        # (measured: fused vmult wrong at (16,16,128), staged correct,
+        # deterministic; kernel itself bit-exact vs the XLA fold)
+        xw = jax.lax.optimization_barrier(xw)
+        o = self._fused(xw)                            # [cz, p, 2, nyc, r, G]
+        o = jax.lax.optimization_barrier(o)
+        o = o.reshape(cz * p, 2, Y - 1, G)
+        return jnp.pad(o, ((0, 1), (0, 0), (0, Yp - Y + 1), (0, 0)))
 
     # ----------------------------------------------------- f64 convenience
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
@@ -332,3 +358,24 @@ class PallasWindowedOzaki:
         y = self.vmult(jnp.where(self.interior, lhs, 0))
         y = jnp.where(self.interior, y, 0)
         return jnp.where(self.interior, rhs - y, rhs - lhs)
+
+
+class WindowedHybridOzaki:
+    """Flagship dp operator: fused windowed Mosaic kernel + XLA fallback.
+
+    ``.win`` (PallasWindowedOzaki) serves the pair-native CG hot loop —
+    persistent windowed vectors, zero per-iteration conversions.  All f64
+    node-grid entry points (FMG residuals, rhs assembly, diagnostics)
+    delegate to a DenseLaplaceOzakiChunked, whose node-grid interface is
+    faster than windowed-with-conversions for one-shot applies.  Same limb
+    scheme on both sides: bit-exact agreement (tests/test_pallas_windowed)."""
+
+    def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
+                 interpret: bool = False):
+        from .laplace_dense import DenseLaplaceOzakiChunked
+
+        self.win = PallasWindowedOzaki(grid, coef, interpret=interpret)
+        self._chunked = DenseLaplaceOzakiChunked(grid, coef)
+
+    def __getattr__(self, name):
+        return getattr(self._chunked, name)

@@ -69,16 +69,32 @@ class Transfer:
     def coarse_interior(self):
         return bcast_and(self._coarse_axes)
 
+    # full-grid gather windows ([Ncz,9,Ncy,9,Ncx,9] interleaved) tile-pad
+    # ~3.6x on TPU (lane 64->128, sublane 9->16) — 4.8 GB of HLO temp at the
+    # 135M finest transfer, the allocation that OOMed the pair-CG step
+    # program.  Above this many fine dofs the 3-D sweeps run chunked by
+    # coarse-z cell layer (lax.map + additive 1-plane boundary merge, the
+    # DenseLaplaceF32Chunked pattern): peak window temp drops by ~Ncz.
+    _CHUNK_DOFS = 4_000_000
+
+    def _chunked(self) -> bool:
+        return (self.fine.dim == 3 and not self._df64
+                and self.fine.n_dofs > self._CHUNK_DOFS
+                and self.coarse.cells[0] > 1)
+
     def prolongate(self, u_coarse: jnp.ndarray) -> jnp.ndarray:
         u = u_coarse
         if self.constrained:
             u = jnp.where(self.coarse_interior, u, 0)
         if self._df64:
             return self._prolongate_df64(u)
-        w = gather_cells(u, self.n)
-        for d in range(self.fine.dim):
-            w = apply_1d(w, self.P, 2 * d + 1)
-        uf = scatter_cells(w, self.nf) * self.weights
+        if self._chunked():
+            uf = self._prolongate_chunked(u) * self.weights
+        else:
+            w = gather_cells(u, self.n)
+            for d in range(self.fine.dim):
+                w = apply_1d(w, self.P, 2 * d + 1)
+            uf = scatter_cells(w, self.nf) * self.weights
         if self.constrained:
             uf = jnp.where(self.fine_interior, uf, 0)
         return uf
@@ -92,13 +108,67 @@ class Transfer:
             u = jnp.where(self.fine_interior, u, 0)
         if self._df64:
             return self._restrict_df64(u)
-        w = gather_cells(u * self.weights, self.nf)
-        for d in range(self.fine.dim):
-            w = apply_1d(w, self.Pt, 2 * d + 1)
-        uc = scatter_cells(w, self.n)
+        if self._chunked():
+            uc = self._restrict_chunked(u * self.weights)
+        else:
+            w = gather_cells(u * self.weights, self.nf)
+            for d in range(self.fine.dim):
+                w = apply_1d(w, self.Pt, 2 * d + 1)
+            uc = scatter_cells(w, self.n)
         if self.constrained:
             uc = jnp.where(self.coarse_interior, uc, 0)
         return uc
+
+    # ------------------------------------------------- chunked 3-D flavors
+    def _restrict_chunked(self, uw: jnp.ndarray) -> jnp.ndarray:
+        """Per coarse-z-layer: fine planes [zi*2p, zi*2p+2p+1) -> windows
+        [1,nf,Ncy,nf,Ncx,nf] -> Pt sweeps -> coarse slab [n z-planes];
+        adjacent slabs share one coarse plane (additive merge)."""
+        import jax
+
+        p = self.fine.degree
+        ncz = self.coarse.cells[0]
+        Yc, Xc = self.coarse.shape[1], self.coarse.shape[2]
+
+        def body(zi):
+            s = jax.lax.dynamic_slice_in_dim(uw, zi * 2 * p, self.nf, axis=0)
+            w = gather_cells(s, self.nf)
+            for d in range(3):
+                w = apply_1d(w, self.Pt, 2 * d + 1)
+            return scatter_cells(w, self.n)            # [n, Yc, Xc]
+
+        slabs = jax.lax.map(body, jnp.arange(ncz))
+        main = slabs[:, :p].reshape(ncz * p, Yc, Xc)
+        tail = jnp.concatenate(
+            [jnp.zeros((ncz, p - 1, Yc, Xc), slabs.dtype), slabs[:, p:]],
+            axis=1).reshape(ncz * p, Yc, Xc)
+        return (jnp.pad(main, ((0, 1), (0, 0), (0, 0)))
+                + jnp.pad(tail, ((1, 0), (0, 0), (0, 0))))
+
+    def _prolongate_chunked(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Adjoint chunking: coarse planes [zi*p, zi*p+p+1) -> P sweeps ->
+        fine slab [nf z-planes]; 1-fine-plane additive overlap."""
+        import jax
+
+        p = self.fine.degree
+        ncz = self.coarse.cells[0]
+        Y, X = self.fine.shape[1], self.fine.shape[2]
+
+        def body(zi):
+            s = jax.lax.dynamic_slice_in_dim(u, zi * p, self.n, axis=0)
+            w = gather_cells(s, self.n)
+            for d in range(3):
+                w = apply_1d(w, self.P, 2 * d + 1)
+            return scatter_cells(w, self.nf)           # [nf, Y, X]
+
+        slabs = jax.lax.map(body, jnp.arange(ncz))
+        s2 = 2 * p
+        main = slabs[:, :s2].reshape(ncz * s2, Y, X)
+        tail = jnp.concatenate(
+            [jnp.zeros((ncz, s2 - 1, Y, X), slabs.dtype), slabs[:, s2:]],
+            axis=1).reshape(ncz * s2, Y, X)
+        return (jnp.pad(main, ((0, 1), (0, 0), (0, 0)))
+                + jnp.pad(tail, ((1, 0), (0, 0), (0, 0))))
 
     # --------------------------------------------------------- df64 flavor
     # fp64 transfers on TPU must avoid the native-f64 einsum (XLA emulation

@@ -71,6 +71,13 @@ class DistributedMultigrid:
         repl = NamedSharding(mesh, P())
         solver.rhs = [jax.device_put(r, repl) for r in solver.rhs]
         solver.u_bc = [jax.device_put(u, repl) for u in solver.u_bc]
+        # the z-layer-chunked transfer sweeps dynamic-slice the sharded z
+        # axis (GSPMD would insert per-layer gathers); monolithic windows
+        # shard cleanly, so force them when domain-decomposed
+        for tr in (getattr(solver, "transfers", None) or []) + (
+                getattr(solver, "transfers_nobc", None) or []):
+            if tr is not None and hasattr(tr, "_CHUNK_DOFS"):
+                tr._CHUNK_DOFS = float("inf")
 
     def constrain(self, level: int, x):
         return jax.lax.with_sharding_constraint(x, self.shardings[level])

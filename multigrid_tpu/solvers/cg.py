@@ -68,6 +68,96 @@ def cg_solve(
     return CGResult(x=x, iterations=it, initial_norm=norm0, final_norm=res)
 
 
+def cg_solve_stepped_pair(
+    op_win,
+    b: jnp.ndarray,
+    precond_f32: Callable,
+    max_iterations: int = 1000,
+    abs_tol: float = 1e-16,
+    rtol: float = 1e-9,
+    _jit_cache: Optional[dict] = None,
+) -> CGResult:
+    """Pair-native host-stepped PCG: the flagship dp path when the fused
+    windowed matvec is installed (ops/pallas_windowed).
+
+    All CG vectors live persistently in the x-windowed f32 (hi, lo) pair
+    format — the fused Mosaic kernel's native layout — so the hot loop has
+    ZERO layout/precision conversions: matvec via ``vmult_windowed``,
+    vector updates in compensated df64 (ops/pairvec), dp dots via exact
+    pair products.  Only the preconditioner touches a node grid (its input
+    is the f32 cast of the residual, exactly as cg_solve_stepped's V-cycle
+    does via ``.astype(float32)``).  Mirrors the reference CG keeping its
+    vectors in the operator's ghosted layout
+    (/root/reference/common/multigrid_solver.h:483-534).
+
+    ``op_win``: PallasWindowedOzaki.  ``b``: f64 node grid, boundary-zero
+    (the rhs invariant; compute_rhs zeroes Dirichlet rows).
+    ``precond_f32``: f32 node grid -> f32 node grid (one V-cycle).
+    Returns x as an f64 node grid."""
+    from ..ops import pairvec as pv
+
+    cache = _jit_cache if _jit_cache is not None else {}
+    w = op_win.dup_weights()
+    if "step_mv" not in cache:
+        # the iteration is TWO host-stepped programs, not one: the fused
+        # matvec's fold temps and the V-cycle preconditioner's per-level
+        # temps each run ~5-7 GB at the 135M flagship — in a single program
+        # they coexist with the 4.1 GB of donated pair carries and overflow
+        # the 16 GB chip (measured: 16.42G needed).  Split, each program
+        # peaks while the other's temps are dead; the extra dispatch costs
+        # ~ms against a ~0.5 s iteration.
+
+        def step_mv(x, r, p, rz):
+            q = op_win.vmult_windowed(p)
+            alpha = rz / pv.pair_dot(p, q, w)
+            x = pv.pair_axpy(x, p, alpha)
+            r = pv.pair_axpy(r, q, -alpha)
+            res = pv.pair_norm_f32(r, w)
+            rhi = pv.pair_hi_node(op_win, r)
+            return x, r, res, rhi
+
+        cache["step_mv"] = jax.jit(step_mv, donate_argnums=(0, 1))
+
+        def step_pc(r, p, rz, rhi):
+            z = pv.pair_from_f32(op_win, precond_f32(rhi))
+            rz_new = pv.pair_dot(r, z, w)
+            p = pv.pair_xpby(z, p, rz_new / rz)
+            return p, rz_new
+
+        cache["step_pc"] = jax.jit(step_pc, donate_argnums=(1, 3))
+
+        def init(bb):
+            bw = op_win.to_windowed(bb)
+            norm0 = pv.pair_norm_f32(bw, w)
+            rhi = pv.pair_hi_node(op_win, bw)
+            return bw, norm0, rhi
+
+        cache["init"] = jax.jit(init)
+
+        def init_pc(bw, rhi):
+            z = pv.pair_from_f32(op_win, precond_f32(rhi))
+            rz = pv.pair_dot(bw, z, w)
+            return z, rz
+
+        cache["init_pc"] = jax.jit(init_pc, donate_argnums=(1,))
+        cache["final"] = jax.jit(op_win.from_windowed)
+    bw, norm0, rhi = cache["init"](b)
+    z, rz = cache["init_pc"](bw, rhi)
+    tol = max(abs_tol, rtol * float(norm0))
+    x = jnp.zeros_like(bw)
+    r = bw
+    p = z
+    it = 0
+    res = float(norm0)
+    while res > tol and it < max_iterations:
+        x, r, res_d, rhi = cache["step_mv"](x, r, p, rz)
+        p, rz = cache["step_pc"](r, p, rz, rhi)
+        res = float(res_d)
+        it += 1
+    return CGResult(x=cache["final"](x), iterations=jnp.asarray(it),
+                    initial_norm=norm0, final_norm=jnp.asarray(res))
+
+
 def cg_solve_stepped(
     A: Callable,
     b: jnp.ndarray,

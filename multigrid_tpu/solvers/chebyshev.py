@@ -94,12 +94,23 @@ def tridiag_extremes(alphas_d, betas_d, oks) -> tuple[float, float]:
     betas = [float(b) for b in np.asarray(betas_d)[:k]]
     if not alphas:
         return 1.0, 1.0
-    T = np.zeros((k, k))
-    for i in range(k):
-        T[i, i] = 1.0 / alphas[i] + (betas[i - 1] / alphas[i - 1] if i > 0 else 0.0)
-        if i + 1 < k:
-            T[i, i + 1] = T[i + 1, i] = np.sqrt(betas[i]) / alphas[i]
-    eigs = np.linalg.eigvalsh(T)
+    diag = np.array([
+        1.0 / alphas[i] + (betas[i - 1] / alphas[i - 1] if i > 0 else 0.0)
+        for i in range(k)
+    ])
+    off = np.array([np.sqrt(betas[i]) / alphas[i] for i in range(k - 1)])
+    try:
+        # O(k^2) tridiagonal solver: the coarse level runs the estimate to
+        # the full matrix size (k ~ n_dofs), where the dense O(k^3) eigvalsh
+        # costs ~25 s of single-core setup time at k ~ 5000
+        from scipy.linalg import eigvalsh_tridiagonal
+
+        eigs = eigvalsh_tridiagonal(diag, off)
+    except ImportError:  # pragma: no cover
+        T = np.diag(diag)
+        T[np.arange(k - 1), np.arange(1, k)] = off
+        T[np.arange(1, k), np.arange(k - 1)] = off
+        eigs = np.linalg.eigvalsh(T)
     return float(eigs[-1]), float(eigs[0])
 
 

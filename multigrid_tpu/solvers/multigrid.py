@@ -130,6 +130,28 @@ class MultigridSolver:
                 return DenseLaplaceOzaki(g, make_diag_coef(g, coefficient))
 
             self.dp_ops = [_dp(g) for g in self.grids]
+        elif dp_impl == "pallas_windowed":
+            # windowed-pair fused Mosaic kernel for the dp CG hot loop
+            # (ops/pallas_windowed; 2.09 GDoF/s at 135M vs 1.09 XLA), with
+            # the XLA chunked Ozaki operator behind every node-grid entry
+            # point.  Interpret mode keeps the path testable off-TPU.
+            from ..ops.laplace_dense import DenseLaplaceOzaki, DenseLaplaceOzakiChunked
+            from ..ops.pallas_windowed import WindowedHybridOzaki
+
+            interpret = jax.default_backend() != "tpu"
+
+            def _dp(g):
+                if (g.dim == 3 and g.degree == 4
+                        and (interpret or (g.cells[2] % 128 == 0
+                                           and g.n_dofs > chunk_threshold))):
+                    return WindowedHybridOzaki(
+                        g, make_diag_coef(g, coefficient), interpret=interpret)
+                if g.dim == 3 and g.n_dofs > chunk_threshold:
+                    return DenseLaplaceOzakiChunked(
+                        g, make_diag_coef(g, coefficient))
+                return DenseLaplaceOzaki(g, make_diag_coef(g, coefficient))
+
+            self.dp_ops = [_dp(g) for g in self.grids]
         elif dp_impl in ("ozaki", "ozaki_chunked"):
             from ..ops.laplace_dense import DenseLaplaceOzaki, DenseLaplaceOzakiChunked
 
@@ -190,12 +212,12 @@ class MultigridSolver:
             ubc = jnp.asarray(ubc_np, f_dtype)
             self.u_bc.append(ubc)
             _tick(f"u_bc[{l}]")
-            if (g.dim == 3 and g.n_dofs > 4_000_000
-                    and isinstance(self.ops_dp[l].coef, DiagCoef)):
-                # large grids: assemble the dp rhs on the HOST (native fp64,
-                # no device compile) — setup is untimed, and the unrolled
-                # on-device chunked dp assembly costs ~25 min of fp64-
-                # emulation compile at the 135M flagship
+            if g.dim == 3 and isinstance(self.ops_dp[l].coef, DiagCoef):
+                # 3-D separable grids assemble the dp rhs on the HOST at
+                # EVERY level (native fp64, no device compile): the on-device
+                # fp64-emulation assembly costs minutes of compile per level
+                # (143 s for the COARSEST level alone at the flagship, ~25
+                # min unrolled at 135M); the dgemm host path takes seconds
                 from ..ops.laplace import compute_rhs_host
 
                 self.rhs.append(jnp.asarray(
@@ -353,9 +375,13 @@ class MultigridSolver:
         """FMG solve; returns the finest-level solution incl. boundary
         values (cf. get_solution, multigrid_solver.h:376-382)."""
         if self._fmg_jit is None:
-            self._fmg_jit = jax.jit(lambda rhs, ubc: self._fmg(rhs, ubc)[-1])
-        sol = self._fmg_jit(self.rhs, self.u_bc)
-        return jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
+            L = self.maxlevel
+            # boundary reinstatement folded into the same program: one
+            # dispatch per solve, and XLA fuses the where into the final
+            # level's correction add (a full read+write pass saved)
+            self._fmg_jit = jax.jit(lambda rhs, ubc: jnp.where(
+                self.bmask[L], ubc[L], self._fmg(rhs, ubc)[-1]))
+        return self._fmg_jit(self.rhs, self.u_bc)
 
     def solve_analyze(self, compute_errors: Optional[bool] = None):
         """FMG with per-level residual/error reporting
@@ -446,7 +472,30 @@ class MultigridSolver:
         """CG on the dp operator preconditioned by one V-cycle
         (multigrid_solver.h:483-493).  Returns (solution_with_bc, iterations,
         reduction_per_iteration).  Above ~64M dofs the iteration is stepped
-        from the host with donated carries (see cg_solve_stepped)."""
+        from the host with donated carries (see cg_solve_stepped); with the
+        windowed hybrid dp operator installed (dp_impl="pallas_windowed")
+        the stepped CG runs pair-native on persistent windowed vectors."""
+        L = self.maxlevel
+        if getattr(self.dp_ops[L], "win", None) is not None:
+            from .cg import cg_solve_stepped_pair
+
+            if not hasattr(self, "_cg_step_cache"):
+                self._cg_step_cache = {}
+            res: CGResult = cg_solve_stepped_pair(
+                self.dp_ops[L].win,
+                self.rhs[L],
+                precond_f32=lambda rn: self._constrain(
+                    L, self.v_cycle(L, rn, 1)),
+                max_iterations=max_iterations,
+                abs_tol=abs_tol, rtol=rtol,
+                _jit_cache=self._cg_step_cache,
+            )
+            its = int(res.iterations)
+            red = (
+                float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
+            )
+            sol = jnp.where(self.bmask[L], self.u_bc[L], res.x)
+            return sol, its, red
         if self.grids[self.maxlevel].n_dofs > 64_000_000:
             from .cg import cg_solve_stepped
 
@@ -551,10 +600,26 @@ class MultigridSolver:
             )
         return upd
 
+    def matvec_native(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Convert an f64 node grid to the finest dp operator's persistent
+        vector format (identity for node-grid operators; windowed f32 pair
+        for the hybrid).  Benchmark inputs go through this ONCE, outside
+        the timed loop — mirroring the reference, whose matvec benchmark
+        runs on vectors already in its ghosted layout."""
+        op = self.dp_ops[self.maxlevel]
+        if getattr(op, "win", None) is not None:
+            return self._jit_of(("mv", "towin"), lambda v: op.win.to_windowed(
+                jnp.where(op.win.interior, v, 0)))(x)
+        return x
+
     def do_matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """dp matvec benchmark entry (multigrid_solver.h:623-628)."""
+        """dp matvec benchmark entry (multigrid_solver.h:623-628); operates
+        on the native dp vector format (see matvec_native)."""
+        op = self.dp_ops[self.maxlevel]
         if self._vmult_dp_jit is None:
-            self._vmult_dp_jit = jax.jit(self.dp_ops[self.maxlevel].vmult)
+            fn = (op.win.vmult_windowed
+                  if getattr(op, "win", None) is not None else op.vmult)
+            self._vmult_dp_jit = jax.jit(fn)
         return self._vmult_dp_jit(x)
 
     def do_matvec_smoother(self, x: jnp.ndarray) -> jnp.ndarray:

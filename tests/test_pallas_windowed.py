@@ -57,6 +57,63 @@ def test_windowed_duplicate_consistency():
     np.testing.assert_allclose(jp[..., : cx - 1], j0[..., 1:], atol=0)
 
 
+def test_pair_cg_matches_node_grid_cg():
+    """Full solver with the windowed hybrid dp operator (interpret mode):
+    the pair-native stepped CG must reproduce the node-grid CG's iteration
+    count and solution to dp accuracy."""
+    from experiments.poisson_cube import build_solver
+    from multigrid_tpu.mesh.brick import poisson_cube_mesh
+
+    mesh = poisson_cube_mesh(4)
+    ref = build_solver(mesh, 4, dp_impl="ozaki")
+    sol_ref, its_ref, red_ref = ref.solve_cg()
+    s = build_solver(mesh, 4, dp_impl="pallas_windowed")
+    assert getattr(s.dp_ops[s.maxlevel], "win", None) is not None
+    sol, its, red = s.solve_cg()
+    assert its == its_ref
+    assert red == pytest.approx(red_ref, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref),
+                               atol=1e-12)
+
+
+def test_pairvec_axpy_dot():
+    """df64 pair axpy/dot against numpy float64 references."""
+    from multigrid_tpu.ops import pairvec as pv
+
+    grid = make_grid((2, 3, 4))
+    op = PallasWindowedOzaki(grid, interpret=True)
+    rng = np.random.default_rng(7)
+    a64 = np.where(np.asarray(op.interior),
+                   rng.standard_normal(grid.shape), 0.0)
+    b64 = np.where(np.asarray(op.interior),
+                   rng.standard_normal(grid.shape), 0.0)
+    aw = op.to_windowed(jnp.asarray(a64))
+    bw = op.to_windowed(jnp.asarray(b64))
+    w = op.dup_weights()
+    alpha = 0.7234912384001122
+    got = np.asarray(op.from_windowed(pv.pair_axpy(aw, bw, alpha)))
+    # df64 accuracy class (~2^-46 of O(1) values), not native f64
+    np.testing.assert_allclose(got, a64 + alpha * b64, rtol=0, atol=5e-14)
+    d = float(pv.pair_dot(aw, bw, w))
+    # same accuracy class as ops/df64.dot_f64 (which the node-grid CG
+    # uses): ~1e-7 relative to sum(|a_i b_i|), from the chunked f32
+    # partial sums
+    assert d == pytest.approx(float((a64 * b64).sum()),
+                              abs=1e-6 * float(np.abs(a64 * b64).sum()))
+    from multigrid_tpu.ops.df64 import dot_f64
+    d_ref = float(dot_f64(jnp.asarray(a64).reshape(-1),
+                          jnp.asarray(b64).reshape(-1)))
+    assert d == pytest.approx(d_ref,
+                              abs=1e-6 * float(np.abs(a64 * b64).sum()))
+    # hi/f32 node extraction + reinjection roundtrip
+    z32 = np.asarray(pv.pair_hi_node(op, aw))
+    np.testing.assert_allclose(z32, a64.astype(np.float32), rtol=0, atol=0)
+    zw = pv.pair_from_f32(op, jnp.asarray(z32))
+    np.testing.assert_allclose(np.asarray(op.from_windowed(zw)),
+                               a64.astype(np.float32).astype(np.float64),
+                               rtol=0, atol=0)
+
+
 def test_windowed_dup_weights_dot():
     """Weighted windowed dot equals the node-grid dot for interior vectors."""
     grid = make_grid((2, 3, 4))

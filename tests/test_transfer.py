@@ -41,3 +41,27 @@ def test_restrict_is_adjoint(constrained):
     lhs = np.vdot(np.asarray(tr.prolongate(jnp.asarray(uc))), vf)
     rhs = np.vdot(uc, np.asarray(tr.restrict(jnp.asarray(vf))))
     assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+@pytest.mark.parametrize("coarse_cells", [(2, 2, 2), (2, 3, 2)])
+def test_chunked_transfer_matches_unchunked(coarse_cells):
+    """The z-layer-chunked 3-D sweeps (HBM-lean path for large grids) must
+    agree with the monolithic gather/scatter bit-for-bit in f32."""
+    mesh = BrickMesh(coarse_cells=coarse_cells, origin=(0.0,) * 3,
+                     lengths=(1.0,) * 3, n_levels=2)
+    coarse = DofGrid(mesh, 0, 4)
+    fine = DofGrid(mesh, 1, 4)
+    rng = np.random.default_rng(3)
+    uc = jnp.asarray(rng.normal(size=coarse.shape), jnp.float32)
+    uf = jnp.asarray(rng.normal(size=fine.shape), jnp.float32)
+    for constrained in (False, True):
+        tr = Transfer(fine, coarse, jnp.float32, constrained=constrained)
+        assert not tr._chunked()
+        ref_p = np.asarray(tr.prolongate(uc))
+        ref_r = np.asarray(tr.restrict(uf))
+        tr._CHUNK_DOFS = 0   # force the chunked flavor
+        assert tr._chunked()
+        np.testing.assert_allclose(np.asarray(tr.prolongate(uc)), ref_p,
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(tr.restrict(uf)), ref_r,
+                                   rtol=0, atol=2e-6)
