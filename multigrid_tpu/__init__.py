@@ -25,5 +25,9 @@ if not _os.environ.get("MGT_NO_COMPILE_CACHE"):
             _os.environ.get("MGT_COMPILE_CACHE_DIR",
                             _os.path.expanduser("~/.cache/multigrid_tpu_xla")))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # jit-executable cache only: embedded XLA:CPU AOT kernel caches pin
+        # exact host machine features and warn/SIGILL when reloaded under a
+        # different feature detection (observed across processes on one box)
+        _jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # pragma: no cover - older jax without these flags
         pass
