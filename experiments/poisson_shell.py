@@ -116,6 +116,16 @@ def main():
             sol.block_until_ready()
             best = min(best, time.perf_counter() - t0)
         fmg_err = s.l2_error(s.maxlevel, sol)
+        # per-level wall-time table for one analyzed V-cycle pass, the
+        # reference prints this after every solve (multigrid_solver.h:347-371)
+        from multigrid_tpu.utils.timing import LevelTimings
+
+        timings = LevelTimings()
+        defect = s.rhs[s.maxlevel].astype(s.v_dtype)
+        s.v_cycle_timed(s.maxlevel, defect, args.n_mg_cycles, timings)
+        timings.reset()  # discard compile-pass timings
+        s.v_cycle_timed(s.maxlevel, defect, args.n_mg_cycles, timings)
+        timings.print_table()
         t0 = time.perf_counter()
         sol_cg, its, red = s.solve_cg()
         cg_time = time.perf_counter() - t0

@@ -305,3 +305,48 @@ class GeneralMultigridSolver:
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
         u = jnp.where(self.bmask[level], self.u_bc[level], sol)
         return float(self.ops_dp[level].l2_error(u, self.exact_quad[level]))
+
+    def v_cycle_timed(self, level: int, defect: jnp.ndarray, n_cyc: int,
+                      timings) -> jnp.ndarray:
+        """Instrumented V-cycle on the general (mapped-mesh) hierarchy,
+        filling a utils.timing.LevelTimings table — the reference prints
+        this after every solve (common/multigrid_solver.h:347-371)."""
+        if not hasattr(self, "_timed_jits"):
+            self._timed_jits = {}
+
+        def _jit_of(key, fn):
+            if key not in self._timed_jits:
+                self._timed_jits[key] = jax.jit(fn)
+            return self._timed_jits[key]
+
+        sm = self.smoothers[level]
+        if level == self.minlevel:
+            return timings.coarse(_jit_of((level, "coarse"), sm.vmult), defect)
+        upd = None
+        for _ in range(n_cyc):
+            if upd is None:
+                upd = timings.timed(
+                    level, "smoother", _jit_of((level, "smv"), sm.vmult),
+                    defect)
+            else:
+                upd = timings.timed(
+                    level, "smoother", _jit_of((level, "sstep"), sm.step),
+                    upd, defect)
+            t = timings.timed(
+                level, "mg_mv",
+                _jit_of((level, "resid"), self.ops[level].vmult_residual),
+                defect, upd)
+            dc = timings.timed(
+                level, "restrict",
+                _jit_of((level, "restrict"), self.transfers[level].restrict),
+                t)
+            corr = self.v_cycle_timed(level - 1, dc, 1, timings)
+            pro = timings.timed(
+                level, "prolongate",
+                _jit_of((level, "prolong"), self.transfers[level].prolongate),
+                corr)
+            upd = upd + pro
+            upd = timings.timed(
+                level, "smoother", _jit_of((level, "sstep"), sm.step),
+                upd, defect)
+        return upd
