@@ -32,7 +32,40 @@ def main():
     ap.add_argument("n_pre_smooth", type=int, nargs="?", default=3)
     ap.add_argument("tolerance", type=float, nargs="?", default=1e-3)
     ap.add_argument("--dim", type=int, default=2)
+    ap.add_argument("--var-coeff", action="store_true",
+                    help="solve -div(c grad u) with c = 1 + 0.5 prod sin(pi x_d)"
+                         " (variable-coefficient SIP-DG; beyond the"
+                         " constant-coefficient reference DG path)")
     args = ap.parse_args()
+
+    coeff_fn, rhs, exact = None, rhs_fn, exact_fn
+    if args.var_coeff:
+        # manufactured solution vanishing on the [-0.9, 1.0]^dim boundary:
+        # u = prod sin(w (x_d + 0.9)), w = pi/1.9; c = 1 + u/2, so
+        # grad c = grad u / 2 and f = -(|grad u|^2/2 + c lap u)
+        w = np.pi / 1.9
+
+        def exact(q):
+            u = 1.0
+            for qd in q:
+                u = u * np.sin(w * (qd + 0.9))
+            return u
+
+        def coeff_fn(q):
+            return 1.0 + 0.5 * exact(q)
+
+        def rhs(q):
+            dim = len(q)
+            u = exact(q)
+            grad_dot = 0.0
+            for d in range(dim):
+                du = w
+                for e, qd in enumerate(q):
+                    du = du * (np.cos(w * (qd + 0.9)) if e == d
+                               else np.sin(w * (qd + 0.9)))
+                grad_dot = grad_dot + 0.5 * du * du
+            c = 1.0 + 0.5 * u
+            return -(grad_dot + c * (-dim * w**2 * u))
 
     for kind in ("hermite", "gll", "gauss"):
         rows = []
@@ -45,9 +78,10 @@ def main():
                 continue
             if n_dofs > args.maxsize:
                 break
-            s = MultigridSolverDGPlain(mesh, args.degree, exact_fn, rhs_fn,
+            s = MultigridSolverDGPlain(mesh, args.degree, exact, rhs,
                                        kind=kind, n_pre=args.n_pre_smooth,
-                                       n_post=args.n_pre_smooth)
+                                       n_post=args.n_pre_smooth,
+                                       coeff_fn=coeff_fn)
             best = np.inf
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -287,6 +287,11 @@ class DGLaplace:
     def vmult_residual(self, rhs: jnp.ndarray, lhs: jnp.ndarray) -> jnp.ndarray:
         return rhs - self.apply(lhs)
 
+    def astype(self, dtype) -> "DGLaplace":
+        """Same operator at another dtype (used by JacobiTransformed's
+        exact general path, which probes in fp64)."""
+        return type(self)(self.grid, dtype) if dtype != self.dtype else self
+
     # ----------------------------------------------------------------- rhs
     def compute_rhs(self, f_quad: jnp.ndarray, g_bc=None) -> jnp.ndarray:
         """b = (f, phi) plus weak Dirichlet data ``g``:
@@ -332,3 +337,123 @@ class DGLaplace:
         err = jnp.sum((uq - exact_quad) ** 2 * jxw)
         vol = jnp.sum(jnp.broadcast_to(jxw, uq.shape))
         return jnp.sqrt(err / vol)
+
+
+class DGLaplaceVarCoeff(DGLaplace):
+    """SIP-DG A·u for the variable-coefficient problem -div(c grad u).
+
+    Extends the affine fused operator with a per-quad-point coefficient
+    c > 0 (block quad layout [C..., nq...]).  The reference's DG path is
+    constant-coefficient only (its variable-coefficient runs use the
+    continuous-FE operator, /root/reference/poisson_shell/program.cc); this
+    operator carries the SIP form with arithmetic-mean face averages:
+
+        a(u,v) = sum_K (c grad u, grad v)_K
+               - sum_F ( <{c du/dn}, [v]> + <{c dv/dn}, [u]>
+                         - sigma_F <{c} [u], [v]> )
+
+    Dirichlet boundary keeps the mirror convention (u+ = -u-, c+ = c-), so
+    the boundary terms reduce to the standard weak-Dirichlet SIP form.
+
+    ``has_cell_data = True`` routes JacobiTransformed to its exact
+    per-cell Rayleigh-probe path (ops/dg_precond.py).
+    """
+
+    has_cell_data = True
+
+    def __init__(self, grid: DGGrid, c_quad, dtype=jnp.float32):
+        super().__init__(grid, dtype)
+        c = jnp.asarray(c_quad, dtype)
+        assert c.shape == grid.shape, (c.shape, grid.shape)
+        self.c = c
+        # coefficient traces at every face, own side, precomputed once
+        self._c_face = [
+            [self._trace(c, d, s) for s in (0, 1)] for d in range(grid.dim)
+        ]
+
+    def astype(self, dtype) -> "DGLaplaceVarCoeff":
+        if dtype == self.dtype:
+            return self
+        return DGLaplaceVarCoeff(self.grid, self.c.astype(dtype), dtype)
+
+    def apply(self, u: jnp.ndarray, ext=None) -> jnp.ndarray:
+        dim = self.dim
+        assert not ext, "distributed halos not wired for var-coeff DG"
+        v = u if self.is_collocation else self._sweep(u, self.S)
+        g = [self._apply(v, self.D, d) for d in range(dim)]
+
+        # volume term with the pointwise coefficient folded in
+        acc = []
+        for e in range(dim):
+            t = None
+            for f_ in range(dim):
+                term = self.Gsym[e][f_] * g[f_]
+                t = term if t is None else t + term
+            acc.append(t * (self.c * self.w3d))
+        vacc = jnp.zeros_like(v)
+
+        for d in range(dim):
+            fd = self.face[d]
+            tr_u = [self._trace(v, d, s) for s in (0, 1)]
+            tr_gn = []
+            for s in (0, 1):
+                t = None
+                for e in range(dim):
+                    term = fd["gvec"][e] * self._trace(g[e], d, s)
+                    t = term if t is None else t + term
+                tr_gn.append(t)
+            tr_c = self._c_face[d]
+            for s in (0, 1):
+                sign = 1.0 if s == 1 else -1.0
+                u_m = tr_u[s]
+                gn_m = sign * tr_gn[s]
+                c_m = tr_c[s]
+                u_p = self._neighbor(tr_u[1 - s], u_m, d, s)
+                gn_p = sign * self._neighbor_grad(tr_gn[1 - s], sign * gn_m, d, s)
+                # coefficient replicates across the boundary (c+ = c-),
+                # same shift as the normal-derivative trace
+                c_p = self._neighbor_grad(tr_c[1 - s], c_m, d, s)
+                jump = u_m - u_p
+                t_val = (fd["sigma"] * 0.5 * (c_m + c_p) * jump
+                         - 0.5 * (c_m * gn_m + c_p * gn_p))
+                t_gr = -0.5 * c_m * jump
+                wf = fd["jxw"] * self.wperp[d]
+                vacc = vacc + self._lift(t_val * wf, d, s)
+                for e in range(dim):
+                    acc[e] = acc[e] + self._lift(
+                        t_gr * wf * (sign * fd["gvec"][e]), d, s
+                    )
+
+        y = vacc
+        for e in range(dim):
+            y = y + self._apply(acc[e], self.Dt, e)
+        return y if self.is_collocation else self._sweep(y, self.St)
+
+    def compute_rhs(self, f_quad: jnp.ndarray, g_bc=None) -> jnp.ndarray:
+        """b = (f, phi) plus coefficient-weighted weak Dirichlet data:
+        sum_bdryF (g, sigma c phi - c n.grad phi)."""
+        b = f_quad.astype(self.dtype) * (self.w3d * self.detJ)
+        acc = [jnp.zeros(self.grid.shape, self.dtype) for _ in range(self.dim)]
+        vacc = b
+        if g_bc is not None:
+            for (d, s), gval in g_bc.items():
+                fd = self.face[d]
+                sign = 1.0 if s == 1 else -1.0
+                wf = fd["jxw"] * self.wperp[d]
+                mask_shape = [1] * (self.dim * 2 - 1)
+                mask_shape[d] = self.grid.cells[d]
+                lay = np.zeros(self.grid.cells[d])
+                lay[-1 if s == 1 else 0] = 1.0
+                mask = jnp.asarray(lay.reshape(mask_shape), self.dtype)
+                c_m = self._c_face[d][s]
+                t_val = 2.0 * fd["sigma"] * c_m * gval * mask
+                t_gr = -c_m * gval * mask
+                vacc = vacc + self._lift(t_val * wf, d, s)
+                for e in range(self.dim):
+                    acc[e] = acc[e] + self._lift(
+                        t_gr * wf * (sign * fd["gvec"][e]), d, s
+                    )
+        y = vacc
+        for e in range(self.dim):
+            y = y + self._apply(acc[e], self.Dt, e)
+        return y if self.is_collocation else self._sweep(y, self.St)

@@ -90,8 +90,9 @@ class JacobiTransformed:
                 "JacobiTransformed category shortcut requires a uniform "
                 "cell-independent operator; pass general=True")
         if general:
-            op64 = op if op.dtype == jnp.float64 else type(op)(
-                grid, jnp.float64)
+            op64 = (op.astype(jnp.float64) if hasattr(op, "astype")
+                    else op if op.dtype == jnp.float64
+                    else type(op)(grid, jnp.float64))
             full = _transformed_diagonals(op64, T3).reshape(
                 grid.cells + (n,) * dim)
         else:

@@ -187,13 +187,32 @@ class MultigridSolverDGPlain(_DGOuterCG):
         n_post: int = 3,
         v_dtype=jnp.float32,
         f_dtype=jnp.float64,
+        coeff_fn: Optional[Callable] = None,
     ):
+        """``coeff_fn``: optional smooth coefficient c(x) (callable on the
+        broadcastable quad-coordinate arrays) for -div(c grad u); every
+        level rebuilds its own operator by direct evaluation at that
+        level's quadrature points (the h-MG analogue of the reference's
+        per-level ``evaluate_coefficient``, multigrid_solver.h:177-186),
+        and JacobiTransformed auto-routes to its exact per-cell path."""
         assert n_pre == n_post
         self.mesh = mesh
         L = mesh.n_levels
         self.grids = [_dg_grid_from_mesh(mesh, l, degree, kind) for l in range(L)]
-        self.ops = [DGLaplace(g, v_dtype) for g in self.grids]
-        self.op_dp = DGLaplace(self.grids[-1], f_dtype)
+
+        def make_op(level, dtype):
+            g = self.grids[level]
+            if coeff_fn is None:
+                return DGLaplace(g, dtype)
+            from ..ops.dg import DGLaplaceVarCoeff
+
+            quads = _quad_coords_block(g, mesh, level)
+            c = np.broadcast_to(
+                np.asarray(coeff_fn(quads), np.float64), g.shape)
+            return DGLaplaceVarCoeff(g, c, dtype)
+
+        self.ops = [make_op(l, v_dtype) for l in range(L)]
+        self.op_dp = make_op(L - 1, f_dtype)
         self.transfers = [None] + [
             DGTransfer(self.grids[l], self.grids[l - 1], v_dtype)
             for l in range(1, L)
