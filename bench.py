@@ -27,19 +27,23 @@ REF_FMG_SECONDS = {
 REF_MV_DOFS_PER_S = 8.7355e8   # dp matvec at 135M dofs (README.md:124)
 
 
-def bench_fmg(size: int, dp_impl: str | None = None):
+def bench_fmg(size: int, dp_impl: str | None = None,
+              sp_impl: str | None = None):
     import jax
 
     jax.config.update("jax_enable_x64", True)
     import numpy as np
 
-    from experiments.poisson_cube import build_solver, resolve_dp_impl
+    from experiments.poisson_cube import (build_solver, resolve_dp_impl,
+                                          resolve_sp_impl)
     from multigrid_tpu.mesh.brick import poisson_cube_mesh
 
     mesh = poisson_cube_mesh(size)
     t0 = time.perf_counter()
     solver = build_solver(
         mesh, 4,
+        sp_impl=resolve_sp_impl(
+            sp_impl or os.environ.get("BENCH_SP_IMPL", "auto")),
         dp_impl=resolve_dp_impl(
             dp_impl or os.environ.get("BENCH_DP_IMPL", "auto")))
     print(f"# setup({size}): {time.perf_counter()-t0:.1f} s", file=sys.stderr)
@@ -91,11 +95,12 @@ def main():
         except Exception as e:  # OOM etc. -> try smaller
             print(f"# size {size} failed: {e!r}", file=sys.stderr)
             # a Mosaic/pallas failure must not forfeit the flagship size:
-            # retry once on the pure-XLA dp path before shrinking
+            # retry once on the pure-XLA paths before shrinking
             try:
                 import jax
                 jax.clear_caches()
-                result = bench_fmg(size, dp_impl="ozaki_chunked")
+                result = bench_fmg(size, dp_impl="ozaki_chunked",
+                                   sp_impl="dense_chunked")
                 break
             except Exception as e2:
                 print(f"# size {size} (xla fallback) failed: {e2!r}",

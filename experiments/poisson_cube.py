@@ -65,10 +65,22 @@ def resolve_dp_impl(dp_impl: str = "auto") -> str:
             else "ozaki_chunked")
 
 
+def resolve_sp_impl(sp_impl: str = "auto") -> str:
+    """"auto" = the fused windowed Mosaic sp smoother path on TPU (engages
+    on eligible levels, dense-element XLA otherwise)."""
+    if sp_impl != "auto":
+        return sp_impl
+    import jax
+
+    return ("pallas_windowed" if jax.default_backend() == "tpu"
+            else "dense_chunked")
+
+
 def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
               n_post: int, n_fmg_repeat: int = 3, n_cg_repeat: int = 3,
               n_matvec: int = 50, verbose: bool = True,
-              n_devices: int = 0, dp_impl: str = "auto") -> dict:
+              n_devices: int = 0, dp_impl: str = "auto",
+              sp_impl: str = "auto") -> dict:
     """One row of the reference convergence table
     (/root/reference/poisson_cube/program.cc:255-401)."""
     import jax
@@ -82,6 +94,7 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
 
     _phase("setup...")
     solver = build_solver(mesh, degree, n_pre, n_post, n_cycles,
+                          sp_impl=resolve_sp_impl(sp_impl),
                           dp_impl=resolve_dp_impl(dp_impl))
     _phase("setup done")
     if n_devices > 1:
@@ -245,6 +258,9 @@ def main():
     ap.add_argument("--dp-impl", default="auto",
                     help="dp operator implementation (auto = fused "
                          "windowed-pair Mosaic kernel on TPU)")
+    ap.add_argument("--sp-impl", default="auto",
+                    help="sp smoother implementation (auto = fused "
+                         "windowed Mosaic kernel on TPU)")
     args = ap.parse_args()
 
     if args.deform:
@@ -268,7 +284,8 @@ def main():
         print(f"Cycle {cycle}: {mesh.cells(mesh.max_level)} cells, {grid_dofs} dofs")
         rows.append(run_cycle(mesh, args.degree, args.n_mg_cycles,
                               args.n_pre_smooth, args.n_post_smooth,
-                              n_devices=args.devices, dp_impl=args.dp_impl))
+                              n_devices=args.devices, dp_impl=args.dp_impl,
+                              sp_impl=args.sp_impl))
         # drop the finished cycle's executables/buffers: accumulated device
         # state from earlier ladder sizes otherwise OOMs the 135M setup
         import gc

@@ -175,17 +175,19 @@ _MAX_M = 6            # pairs with k+l <= 6: measured rel error ~2e-15.
 # 33M dofs (df64 A/B at 33M: 4.3508e-9 == ref 4.351e-9; 6-limb: 4.419e-9).
 
 
-def _split_limbs_f64(K: np.ndarray, n_limbs: int):
-    """Host-side exact limb split of an f64 matrix: K = sigma * sum 2^{-7k} L_k
-    with L_k holding 7-bit-mantissa values exactly representable in bf16."""
+def _split_limbs_f64(K: np.ndarray, n_limbs: int, limb_bits: int = _LIMB_BITS):
+    """Host-side exact limb split of an f64 matrix: K = sigma * sum 2^{-bk} L_k
+    with L_k holding b-bit-mantissa values exactly representable in bf16
+    (b = ``limb_bits`` <= 8; default 7 for the dp operators, 8 for the sp
+    windowed kernel, ops/pallas_windowed_sp.py)."""
     sigma = 2.0 ** np.ceil(np.log2(np.abs(K).max()))
     r = K / sigma
     limbs = []
     for k in range(n_limbs):
-        scale = 2.0 ** (_LIMB_BITS * (k + 1))
+        scale = 2.0 ** (limb_bits * (k + 1))
         chopped = np.round(r * scale) / scale
-        # keep limb magnitudes < 2^{-7k}: representable with 7-bit mantissa
-        limbs.append((chopped * 2.0 ** (_LIMB_BITS * k)).astype(np.float32))
+        # keep limb magnitudes < 2^{-bk}: representable with b-bit mantissa
+        limbs.append((chopped * 2.0 ** (limb_bits * k)).astype(np.float32))
         r = r - chopped
     return sigma, limbs
 

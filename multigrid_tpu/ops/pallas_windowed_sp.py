@@ -1,0 +1,315 @@
+"""Windowed fused sp matvec: the speed-of-light smoother path.
+
+Single-precision sibling of ops/pallas_windowed (the dp pair kernel): the
+sp vector format is the X-WINDOWED f32 plane ``[Z, Yp, G]`` — one component
+of the dp pair layout, same lane map ``w[..., j*cx + i] = u[..., p*i + j]``.
+The V-cycle smoother carries its vectors persistently in this layout
+(solvers/multigrid.MultigridSolver, sp_impl="pallas_windowed"), so every
+Chebyshev matvec runs as one Mosaic kernel with ZERO XLA window/scatter
+relayouts — the glue that bounds the dense-element XLA path
+(ops/laplace_dense.DenseLaplaceF32Chunked) at ~4 GDoF/s.
+
+Per (z-slab, y-chunk) grid step:
+
+    slab DMA -> lane split -> y/z window -> per-cell power-of-2 scale ->
+    8-bit limb split (EXACT: 3 x 8 bits cover the full f32 mantissa) ->
+    triangular bf16 group matmuls (6 N x N block products, m = k+l <= 2,
+    dropped cross terms ~2^-24 relative — the accuracy class of an f32
+    HIGHEST-precision matmul) -> f32 recombination -> y-unscatter with a
+    sequential-carry fold -> in-kernel x-window re-emission -> one clean
+    [lz, rows, G] block store.
+
+Counterpart of the reference's float smoother matvec (the sp operand of
+/root/reference/common/matrix_vector_kernel.h:30-216, driven by
+PreconditionChebyshev at multigrid_solver.h:268-291); the persistent
+windowed layout replaces deal.II's ghosted-vector gather tables
+(vector_access_reduced.h) with the layout the TPU lane model wants.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..mesh.brick import DofGrid
+from .laplace import DiagCoef
+from .laplace_dense import _split_limbs_f64, element_matrix
+from .masks import bcast_and, interior_axes_jnp
+
+_I0 = np.int32(0)
+
+_LIMB_BITS_SP = 8     # 3 x 8 = 24 bits: exact split of an f32 input
+_N_LIMBS_SP = 3
+_MAX_M_SP = 2         # pairs k+l <= 2: 6 block products, ~2^-24 truncation
+
+
+class PallasWindowedSP:
+    """sp A·u on windowed f32 vectors; p=4 3-D structured bricks."""
+
+    def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
+                 cy_chunk: int = 32, interpret: bool = False):
+        assert grid.dim == 3 and grid.degree == 4
+        self.grid = grid
+        self.p, self.n, self.N = 4, 5, 125
+        self.cz, self.cy, self.cx = grid.cells
+        self.Z, self.Y, self.X = grid.shape
+        self.Yp = -(-self.Y // 8) * 8
+        self.G = self.n * self.cx
+        self.interpret = interpret
+        if not interpret:
+            assert self.cx % 128 == 0, "lane tiling needs cx % 128 == 0"
+        self.cy_b = min(cy_chunk, self.cy)
+        while self.cy % self.cy_b:
+            self.cy_b -= 1
+        self.nyc = self.cy // self.cy_b
+        K = element_matrix(grid, coef)
+        sigma_K, limbs = _split_limbs_f64(K.T, _N_LIMBS_SP, _LIMB_BITS_SP)
+        self.sigma_K = float(sigma_K)
+        N = self.N
+        self.off = [0]
+        blocks = []
+        for m in range(_MAX_M_SP + 1):
+            blocks.append(np.vstack([limbs[m - l] for l in range(m + 1)]))
+            self.off.append(self.off[-1] + (m + 1) * N)
+        self.Kstack = jnp.asarray(np.vstack(blocks), jnp.bfloat16)
+        self._interior_axes = interior_axes_jnp(grid)
+
+    @property
+    def interior(self):
+        return bcast_and(self._interior_axes)
+
+    # -------------------------------------------------- layout conversions
+    def window_x_line(self, f: np.ndarray) -> np.ndarray:
+        """Host relayout of a 1-D x-axis factor [X] into window lanes [G]
+        (``out[j*cx+i] = f[p*i+j]``; used for separable diagonals/masks)."""
+        p, cx, G = self.p, self.cx, self.G
+        out = np.empty(G, f.dtype)
+        for j in range(p + 1):
+            idx = np.minimum(p * np.arange(cx) + j, self.X - 1)
+            out[j * cx:(j + 1) * cx] = f[idx]
+        return out
+
+    def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
+        """f32 node grid [Z, Y, X] -> windowed [Z, Yp, G]."""
+        Z, Y, X = self.Z, self.Y, self.X
+        p, cx, G, Yp = self.p, self.cx, self.G, self.Yp
+        a = x.astype(jnp.float32)
+        m = a[..., : X - 1].reshape(Z, Y, cx, p)
+        t = a[..., 1:].reshape(Z, Y, cx, p)[..., p - 1:]
+        w = jnp.concatenate([m, t], axis=3)            # [Z, Y, cx, n]
+        w = w.transpose(0, 1, 3, 2).reshape(Z, Y, G)
+        return jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
+
+    def from_windowed(self, w: jnp.ndarray) -> jnp.ndarray:
+        """Windowed [Z, Yp, G] -> f32 node grid [Z, Y, X]."""
+        Z, Y, X = self.Z, self.Y, self.X
+        p, n, cx = self.p, self.n, self.cx
+        v = w[:, :Y].reshape(Z, Y, n, cx)
+        main = v[:, :, :p].transpose(0, 1, 3, 2).reshape(Z, Y, cx * p)
+        last = v[:, :, p, cx - 1: cx]
+        return jnp.concatenate([main, last], axis=-1)
+
+    def dup_weights(self) -> jnp.ndarray:
+        """[G] weights zeroing duplicated x-window slots in inner products."""
+        w = np.ones(self.G, np.float32)
+        w[self.p * self.cx:] = 0.0
+        w[self.p * self.cx + self.cx - 1] = 1.0
+        return jnp.asarray(w)
+
+    # -------------------------------------------------------------- kernel
+    def _kernel(self, x_hbm, kst_ref, out_ref, slab, carry, zcarry, sem):
+        zi = pl.program_id(0)
+        yj = pl.program_id(1)
+        p, n, N = self.p, self.n, self.N
+        cy_b, cx, G = self.cy_b, self.cx, self.G
+        R = cy_b * p + 1
+        F = cy_b * cx
+
+        @pl.when(yj == 0)
+        def _():
+            cp = pltpu.make_async_copy(x_hbm.at[pl.ds(zi * p, n)], slab, sem)
+            cp.start()
+            cp.wait()
+
+        rows0 = yj * cy_b * p
+        s = slab[:, pl.ds(rows0, R)]                   # [n, R, G]
+
+        s4 = s.reshape(n, R, n, cx)                    # lane split
+        m_ = s4[:, : R - 1].reshape(n, cy_b, p, n, cx)
+        t_ = s4[:, 1:].reshape(n, cy_b, p, n, cx)[:, :, p - 1: p]
+        w = jnp.concatenate([m_, t_], axis=2)          # [lz, cy_b, ly, lx, cx]
+        w = w.transpose(0, 2, 3, 1, 4)                 # [lz, ly, lx, cy_b, cx]
+        u = w.reshape(N, F)
+
+        s_ = jnp.max(jnp.abs(u), axis=0, keepdims=True)
+        sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(s_, 1e-30))))
+        sigma = jnp.where(s_ > 0, sigma, 1.0)          # [1, F]
+        rh = u / sigma
+        limbs = []
+        for k in range(_N_LIMBS_SP):
+            scale = np.float32(2.0 ** (_LIMB_BITS_SP * (k + 1)))
+            inv = np.float32(2.0 ** (-_LIMB_BITS_SP * (k + 1)))
+            chopped = jnp.round(rh * scale) * inv
+            rh = rh - chopped                          # exact (aligned grids)
+            limbs.append(
+                (chopped * np.float32(2.0 ** (_LIMB_BITS_SP * k))
+                 ).astype(jnp.bfloat16))
+        big = jnp.concatenate(limbs, axis=0)           # [3N, F] bf16
+
+        acc = None
+        for m in range(_MAX_M_SP + 1):
+            Km = kst_ref[self.off[m]: self.off[m + 1], :]
+            Ym = jax.lax.dot_general(
+                Km, big[: (m + 1) * N],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [N, F] f32
+            delta = np.float32(self.sigma_K * 2.0 ** (-_LIMB_BITS_SP * m))
+            term = Ym * delta * sigma
+            acc = term if acc is None else acc + term
+
+        # y-unscatter with chunk-boundary carry (see ops/pallas_windowed)
+        wv = acc.reshape(n, n, n, cy_b, cx)            # [lz, ly, lx, cy_b, cx]
+        wv = wv.transpose(3, 1, 0, 2, 4)               # [cy_b, ly, lz, lx, cx]
+        main = wv[:, :p].reshape(cy_b * p, n, n, cx)
+        tail = wv[:, p]                                # [cy_b, lz, lx, cx]
+        tsh = jnp.concatenate(
+            [jnp.zeros((1, n, n, cx), acc.dtype), tail[: cy_b - 1]], axis=0)
+        tpad = jnp.concatenate(
+            [tsh[:, None], jnp.zeros((cy_b, p - 1, n, n, cx), acc.dtype)],
+            axis=1).reshape(cy_b * p, n, n, cx)
+        y = main + tpad                                # [rows, lz, lx, cx]
+
+        cin = jnp.where(yj > 0, carry[...], 0.0)       # [n, n, cx]
+        y = jnp.concatenate([(y[0] + cin)[None], y[1:]], axis=0)
+        carry[...] = tail[cy_b - 1]
+
+        # x-window re-emission (lane rolls; see ops/pallas_windowed notes)
+        _one = np.int32(1)
+        _cxm1 = np.int32(cx - 1)
+        RW = cy_b * p
+        mh_ = y[:, :, :p].reshape(RW, n, p * cx)
+        tail_x = pltpu.roll(y[:, :, p], _one, 2)       # cell i-1 tail -> i
+        zpad = jnp.zeros((RW, n, (p - 1) * cx), jnp.float32)
+        wh_ = mh_ + jnp.concatenate([tail_x, zpad], axis=-1)
+        wph = pltpu.roll(wh_[:, :, :cx], _cxm1, 2)     # i+1 duplicate block
+        wh = jnp.concatenate([wh_, wph], axis=-1).transpose(1, 0, 2)
+        # [lz, RW, G]
+
+        # in-kernel z-overlap fold + boundary masks (see ops/pallas_windowed)
+        rows0 = yj * RW
+        cin_z = jnp.where(zi > 0, zcarry[pl.ds(rows0, RW), :], 0.0)
+        zcarry[pl.ds(rows0, RW), :] = wh[p]
+        p0 = wh[0] + cin_z
+        _f0, _f1 = np.float32(0.0), np.float32(1.0)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (RW, G), 0)
+        ymask = jnp.where((yj == 0) & (row_ids == 0), _f0, _f1)
+        zmask0 = jnp.where(zi == 0, _f0, _f1)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (RW, G), 1)
+        xm = jnp.where((lane_ids == 0) | (lane_ids == G - 1), _f0, _f1)
+        p0 = p0 * (zmask0 * ymask * xm)
+        b = jnp.concatenate([p0[None], wh[1:p] * (ymask * xm)[None]], axis=0)
+        out_ref[0, :, 0] = b                           # [p, RW, G]
+
+    def _fused(self, xw):
+        n, G, cy_b = self.n, self.G, self.cy_b
+        p = self.p
+        cz, nyc = self.cz, self.nyc
+        rows = cy_b * p
+        out_shape = jax.ShapeDtypeStruct((cz, p, nyc, rows, G), jnp.float32)
+        flops = 2 * sum((m + 1) for m in range(_MAX_M_SP + 1)) * self.N**2 \
+            * self.cy * self.cx * cz
+        return pl.pallas_call(
+            self._kernel,
+            grid=(cz, nyc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((self.off[-1], self.N),
+                             lambda zi, yj: (_I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, p, 1, rows, G),
+                lambda zi, yj: (zi, _I0, yj, _I0, _I0),
+                memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((n, self.Yp, G), jnp.float32),
+                pltpu.VMEM((n, n, self.cx), jnp.float32),
+                pltpu.VMEM((self.cy * p, G), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=xw.size * 4 + cz * p * nyc * rows * G * 4,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xw, self.Kstack)
+
+    # ------------------------------------------------------ windowed apply
+    def vmult_windowed(self, xw: jnp.ndarray) -> jnp.ndarray:
+        """Windowed in/out; ASSUMES boundary-zero input (the V-cycle defect
+        invariant) and returns a boundary-zero result."""
+        p, G = self.p, self.G
+        cz, Y, Yp = self.cz, self.Y, self.Yp
+        # barriers pin the kernel operand/result as standalone values (the
+        # dp kernel's measured fusion miscompile; see ops/pallas_windowed)
+        xw = jax.lax.optimization_barrier(xw)
+        o = self._fused(xw)                            # [cz, p, nyc, r, G]
+        o = jax.lax.optimization_barrier(o)
+        o = o.reshape(cz * p, Y - 1, G)
+        return jnp.pad(o, ((0, 1), (0, Yp - Y + 1), (0, 0)))
+
+    # ------------------------------------------------- node-grid interface
+    def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
+        """f32 node-grid convenience (conversions included; the smoother hot
+        path uses vmult_windowed on persistent windowed vectors)."""
+        xm = jnp.where(self.interior, src, 0).astype(jnp.float32)
+        yw = self.vmult_windowed(self.to_windowed(xm))
+        y = self.from_windowed(yw)
+        return jnp.where(self.interior, y, src)
+
+    def vmult_residual(self, rhs, lhs):
+        y = self.vmult(jnp.where(self.interior, lhs, 0))
+        y = jnp.where(self.interior, y, 0)
+        return jnp.where(self.interior, rhs - y, rhs - lhs)
+
+
+def windowed_inv_diag_factory(op_win: PallasWindowedSP, lap_op):
+    """Windowed separable inverse diagonal: relayouts the x-axis factor
+    lines of ``lap_op``'s separable node diagonal
+    (ops/laplace.LaplaceOperator.inverse_diagonal) into window lanes at
+    setup, and returns a zero-arg callable rebuilding the windowed
+    ``1/diag(A)`` in-graph from 1-D constants (so jitted smoothers embed
+    only O(shape_d) literals — the LazyMaskList rule, ops/masks.py)."""
+    assert isinstance(lap_op.coef, DiagCoef)
+    dim = 3
+    fz, fy, fx = [], [], []
+    Yp = op_win.Yp
+    for d in range(dim):
+        lines = lap_op._diag_lines[d]
+        fz.append(jnp.asarray(np.asarray(lines[0], np.float32)))
+        y_line = np.asarray(lines[1], np.float32)
+        # pad y to the sublane-aligned Yp with 1.0 (kept positive: padded
+        # rows carry zero residuals, but 1/diag must stay finite)
+        fy.append(jnp.asarray(np.pad(y_line, (0, Yp - y_line.size),
+                                     constant_values=1.0)))
+        fx.append(jnp.asarray(op_win.window_x_line(
+            np.asarray(lines[2], np.float32))))
+    cvals = [np.float32(v) for v in lap_op.coef.values]
+
+    def inv_diag():
+        diag = None
+        for d in range(dim):
+            term = (fz[d][:, None, None] * fy[d][None, :, None]
+                    * fx[d][None, None, :]) * cvals[d]
+            diag = term if diag is None else diag + term
+        return 1.0 / diag
+
+    return inv_diag

@@ -101,12 +101,12 @@ class MultigridSolver:
         # working sets, required at the 135M-dof flagship); below the
         # threshold the monolithic single-matmul form is cheaper.
         chunk_threshold = 1_000_000
-        if sp_impl in ("dense", "dense_chunked"):
+        if sp_impl in ("dense", "dense_chunked", "pallas_windowed"):
             from ..ops.laplace_dense import DenseLaplaceF32, DenseLaplaceF32Chunked
 
             def _sp(g):
-                if (sp_impl == "dense_chunked" and g.dim == 3
-                        and g.n_dofs > chunk_threshold):
+                if (sp_impl in ("dense_chunked", "pallas_windowed")
+                        and g.dim == 3 and g.n_dofs > chunk_threshold):
                     return DenseLaplaceF32Chunked(g, make_diag_coef(g, coefficient))
                 return DenseLaplaceF32(g, make_diag_coef(g, coefficient))
 
@@ -274,6 +274,37 @@ class MultigridSolver:
             self.smoothers.append(sm)
             _tick(f"smoother[{l}]")
 
+        # windowed sp smoother path (sp_impl="pallas_windowed"): on
+        # qualifying levels the V-cycle carries its vectors in the fused
+        # Mosaic kernel's persistent x-windowed layout
+        # (ops/pallas_windowed_sp), eliminating the XLA window/scatter
+        # relayouts that bound the dense-element path.  The windowed
+        # Chebyshev clones the node smoother's estimated interval (same
+        # operator spectrum; the Lanczos estimate ran on the node path).
+        self._sp_win = {}
+        if sp_impl == "pallas_windowed":
+            from ..ops.pallas_windowed_sp import (PallasWindowedSP,
+                                                  windowed_inv_diag_factory)
+
+            interpret = jax.default_backend() != "tpu"
+            for l in range(self.minlevel + 1, L):
+                g = self.grids[l]
+                if not (g.dim == 3 and g.degree == 4
+                        and isinstance(self.ops[l].coef, DiagCoef)
+                        and (interpret or (g.cells[2] % 128 == 0
+                                           and g.n_dofs > chunk_threshold))):
+                    continue
+                opw = PallasWindowedSP(g, make_diag_coef(g, coefficient),
+                                       interpret=interpret)
+                inv_diag = windowed_inv_diag_factory(opw, self.ops[l])
+                sm = self.smoothers[l]
+                self._sp_win[l] = (opw, Chebyshev(
+                    vmult_op=opw.vmult_windowed,
+                    precond=lambda r, _f=inv_diag: _f() * r,
+                    theta=sm.theta, delta=sm.delta, degree=sm.degree,
+                    max_eig=sm.max_eig, min_eig=sm.min_eig, kind=sm.kind))
+                _tick(f"sp_win[{l}]")
+
         self._fmg_jit = None
         self._cg_jit = None
         self._vmult_dp_jit = None
@@ -287,6 +318,9 @@ class MultigridSolver:
         # vectors domain-decomposed — the TPU analogue of the reference's
         # per-level MPI partitioners (multigrid_solver.h:151-200).
         self._constrain = lambda level, x: x
+        # the windowed sp path auto-disables when a distributed wrapper
+        # replaces the hook (sharding constraints act on node grids)
+        self._constrain_default = self._constrain
 
     def reset_jit_caches(self):
         """Drop all cached jitted callables (needed when the sharding hook
@@ -337,6 +371,9 @@ class MultigridSolver:
         defect = self._constrain(level, defect)
         if level == self.minlevel:
             return self.smoothers[level].vmult(defect)
+        if (level in self._sp_win
+                and self._constrain is self._constrain_default):
+            return self._v_cycle_windowed(level, defect, n_cyc)
         upd = None
         for c in range(n_cyc):
             if upd is None:
@@ -349,6 +386,27 @@ class MultigridSolver:
             upd = upd + self._constrain(level, self.transfers[level].prolongate(corr))
             upd = self.smoothers[level].step(upd, defect)
         return upd
+
+    def _v_cycle_windowed(self, level: int, defect: jnp.ndarray,
+                          n_cyc: int) -> jnp.ndarray:
+        """Level body on persistent windowed sp vectors (the fused Mosaic
+        smoother path, ops/pallas_windowed_sp): all Chebyshev matvecs and
+        vector updates stay in the kernel's x-windowed layout; the node
+        grid appears only at the restrict/prolongate boundary and at
+        entry/exit.  Same math as the node body above — the window map is
+        a bijection on interior dofs with consistent duplicate slots."""
+        opw, smw = self._sp_win[level]
+        d = opw.to_windowed(defect)
+        upd = None
+        for c in range(n_cyc):
+            upd = smw.vmult(d) if upd is None else smw.step(upd, d)
+            t = d - opw.vmult_windowed(upd)
+            dc = self.transfers[level].restrict(opw.from_windowed(t))
+            corr = self.v_cycle(level - 1, dc, 1)
+            cw = opw.to_windowed(self.transfers[level].prolongate(corr))
+            upd = upd + cw
+            upd = smw.step(upd, d)
+        return opw.from_windowed(upd)
 
     # ----------------------------------------------------------------- FMG
     def _fmg(self, rhs, u_bc):

@@ -1,0 +1,99 @@
+"""Windowed fused sp matvec (interpret mode) vs the dense sp oracle, and
+the windowed V-cycle smoother path vs the node-grid solver.
+
+The sp kernel's 3 x 8-bit limb split is an EXACT decomposition of the f32
+input, and the dropped cross terms are ~2^-24 relative — the accuracy
+class of DenseLaplaceF32's HIGHEST-precision matmul, so the two paths must
+agree to f32 roundoff.  The solver equivalence tier pins iteration counts
+and reductions: the windowed smoother must leave the transcript anchors
+(tests/test_multigrid_solver.py) intact.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_tpu.mesh.brick import BrickMesh, DofGrid
+from multigrid_tpu.ops.laplace import LaplaceOperator, make_diag_coef
+from multigrid_tpu.ops.laplace_dense import DenseLaplaceF32
+from multigrid_tpu.ops.pallas_windowed_sp import (
+    PallasWindowedSP, windowed_inv_diag_factory)
+
+
+def make_grid(cells):
+    mesh = BrickMesh(coarse_cells=cells, origin=(-0.9,) * 3,
+                     lengths=(1.9, 1.3, 1.1), n_levels=1)
+    return DofGrid(mesh, 0, 4)
+
+
+@pytest.mark.parametrize("cells,cy_chunk", [((3, 4, 4), 4),
+                                            ((4, 8, 4), 4),   # nyc=2: carry
+                                            ((2, 6, 8), 2)])  # nyc=3
+def test_windowed_sp_matches_dense(cells, cy_chunk):
+    grid = make_grid(cells)
+    ref = DenseLaplaceF32(grid)
+    op = PallasWindowedSP(grid, cy_chunk=cy_chunk, interpret=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(grid.shape),
+                    jnp.float32)
+    y_ref = np.asarray(ref.vmult(x))
+    y = np.asarray(op.vmult(x))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y, y_ref, atol=2e-6 * scale)
+
+
+def test_windowed_sp_roundtrip_and_dups():
+    grid = make_grid((2, 4, 4))
+    op = PallasWindowedSP(grid, cy_chunk=2, interpret=True)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(grid.shape),
+                    jnp.float32)
+    back = np.asarray(op.from_windowed(op.to_windowed(x)))
+    np.testing.assert_allclose(back, np.asarray(x), rtol=0, atol=0)
+    # kernel output duplicate-slot consistency (j=p block == j=0 shifted)
+    xm = jnp.where(op.interior, x, 0)
+    yw = np.asarray(op.vmult_windowed(op.to_windowed(xm)))
+    cx, p = op.cx, op.p
+    j0 = yw[:, :, 0 * cx: 1 * cx]
+    jp = yw[:, :, p * cx: (p + 1) * cx]
+    np.testing.assert_allclose(jp[..., : cx - 1], j0[..., 1:], atol=0)
+
+
+def test_windowed_inv_diag_matches_node():
+    grid = make_grid((2, 3, 4))
+    opw = PallasWindowedSP(grid, interpret=True)
+    lap = LaplaceOperator(grid, jnp.float32, make_diag_coef(grid))
+    inv_fn = windowed_inv_diag_factory(opw, lap)
+    got = np.asarray(opw.from_windowed(inv_fn()))
+    want = np.asarray(lap.inverse_diagonal())
+    interior = np.asarray(opw.interior)
+    np.testing.assert_allclose(got[interior], want[interior], rtol=1e-6)
+
+
+def test_windowed_vcycle_solver_matches_node_path():
+    """Full FMG + CG with sp_impl="pallas_windowed" (interpret): iteration
+    counts must match the node path exactly and solutions to sp-smoother
+    tolerance (the preconditioner differs only by f32 rounding)."""
+    from experiments.poisson_cube import build_solver
+    from multigrid_tpu.mesh.brick import poisson_cube_mesh
+
+    mesh = poisson_cube_mesh(4)
+    ref = build_solver(mesh, 4, dp_impl="ozaki")
+    s = build_solver(mesh, 4, sp_impl="pallas_windowed", dp_impl="ozaki")
+    assert s._sp_win, "windowed smoother path not installed"
+    sol_ref, its_ref, red_ref = ref.solve_cg()
+    sol, its, red = s.solve_cg()
+    assert its == its_ref
+    assert red == pytest.approx(red_ref, rel=2e-2)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref),
+                               atol=1e-9)
+    # FMG stops after a fixed cycle count, so the two smoothers' rounding
+    # difference (bf16-limb vs XLA HIGHEST, both ~2^-24/op) shows directly
+    # in the transient — ~1e-5 here, far below the 1.2e-2 discretization
+    # error at 4913 dofs.  The converged CG comparison above is the tight
+    # equivalence check.
+    f_ref = np.asarray(ref.solve())
+    f = np.asarray(s.solve())
+    np.testing.assert_allclose(f, f_ref, atol=3e-5 * np.abs(f_ref).max())
+    L = ref.maxlevel
+    e_ref = float(ref.l2_error(L, jnp.asarray(f_ref)))
+    e = float(s.l2_error(L, jnp.asarray(f)))
+    assert e == pytest.approx(e_ref, rel=1e-3)
