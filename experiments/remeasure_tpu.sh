@@ -1,0 +1,44 @@
+#!/bin/bash
+# One-shot TPU re-measurement sweep (the round-3 backlog, docs/GAPS.md #1).
+# Run unattended whenever the axon tunnel is up:
+#   bash experiments/remeasure_tpu.sh [outdir]
+# Each phase is independently time-bounded and appends to its own log, so a
+# mid-sweep tunnel drop preserves everything measured so far.
+
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-docs/tpu_r3}
+mkdir -p "$OUT"
+export PYTHONPATH=.
+
+phase() {  # phase <name> <timeout_s> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    echo "=== $name: $* (timeout ${tmo}s) $(date +%H:%M:%S)" | tee -a "$OUT/$name.log"
+    timeout "$tmo" "$@" >>"$OUT/$name.log" 2>&1
+    echo "=== $name exit=$? $(date +%H:%M:%S)" | tee -a "$OUT/$name.log"
+}
+
+# 0. device probe (fail fast if the tunnel is down)
+timeout 300 python -c "import jax; print(jax.devices())" || {
+    echo "tunnel down; aborting"; exit 1; }
+
+# 1. flagship bench (fused sp+dp kernels; falls back to XLA internally),
+#    with setup-phase timing
+MGT_SETUP_TIMING=1 phase bench 3600 python bench.py
+
+# 2. full-solve ladder, small sizes first (the 0.96x FMG row at 4.17M):
+#    doubling sizes 40..128 as in RESULTS_R2
+phase ladder_small 3600 python experiments/poisson_cube.py 4 3000000 20000000 2 2 2 square
+phase ladder_large 5400 python experiments/poisson_cube.py 4 30000000 140000000 2 2 2 square
+
+# 3. sp/dp matvec A/B at the flagship: fused windowed kernels vs XLA
+BENCH_METRIC=matvec phase mv_fused 1800 python bench.py
+BENCH_METRIC=matvec BENCH_DP_IMPL=ozaki_chunked BENCH_SP_IMPL=dense_chunked \
+    phase mv_xla 1800 python bench.py
+
+# 4. shell ladder to >=10M dofs (mixed + the pure-double/fourth-kind
+#    reference specialization)
+phase shell 5400 python experiments/poisson_shell.py 4 12000000 1 3 3
+phase shell_pd 5400 python experiments/poisson_shell.py 4 12000000 1 3 3 --pure-double
+
+echo "sweep complete; logs in $OUT"

@@ -71,11 +71,12 @@ def cg_solve(
 def cg_solve_stepped_pair(
     op_win,
     b: jnp.ndarray,
-    precond_f32: Callable,
+    precond_f32: Optional[Callable] = None,
     max_iterations: int = 1000,
     abs_tol: float = 1e-16,
     rtol: float = 1e-9,
     _jit_cache: Optional[dict] = None,
+    precond_win: Optional[Callable] = None,
 ) -> CGResult:
     """Pair-native host-stepped PCG: the flagship dp path when the fused
     windowed matvec is installed (ops/pallas_windowed).
@@ -93,9 +94,14 @@ def cg_solve_stepped_pair(
     ``op_win``: PallasWindowedOzaki.  ``b``: f64 node grid, boundary-zero
     (the rhs invariant; compute_rhs zeroes Dirichlet rows).
     ``precond_f32``: f32 node grid -> f32 node grid (one V-cycle).
+    ``precond_win``: windowed f32 [Z, Yp, G] -> windowed f32 — the
+    zero-relayout alternative when the V-cycle itself runs windowed
+    (MultigridSolver._v_cycle_windowed_core): the residual pair's hi plane
+    IS the f32 defect, so preconditioning touches no node grid at all.
     Returns x as an f64 node grid."""
     from ..ops import pairvec as pv
 
+    assert (precond_f32 is None) != (precond_win is None)
     cache = _jit_cache if _jit_cache is not None else {}
     w = op_win.dup_weights()
     if "step_mv" not in cache:
@@ -107,42 +113,47 @@ def cg_solve_stepped_pair(
         # peaks while the other's temps are dead; the extra dispatch costs
         # ~ms against a ~0.5 s iteration.
 
+        def _apply_pc(r):
+            if precond_win is not None:
+                zw = precond_win(r[:, 0])
+                return jnp.stack([zw, jnp.zeros_like(zw)], axis=1)
+            return pv.pair_from_f32(op_win, precond_f32(
+                pv.pair_hi_node(op_win, r)))
+
         def step_mv(x, r, p, rz):
             q = op_win.vmult_windowed(p)
             alpha = rz / pv.pair_dot(p, q, w)
             x = pv.pair_axpy(x, p, alpha)
             r = pv.pair_axpy(r, q, -alpha)
             res = pv.pair_norm_f32(r, w)
-            rhi = pv.pair_hi_node(op_win, r)
-            return x, r, res, rhi
+            return x, r, res
 
         cache["step_mv"] = jax.jit(step_mv, donate_argnums=(0, 1))
 
-        def step_pc(r, p, rz, rhi):
-            z = pv.pair_from_f32(op_win, precond_f32(rhi))
+        def step_pc(r, p, rz):
+            z = _apply_pc(r)
             rz_new = pv.pair_dot(r, z, w)
             p = pv.pair_xpby(z, p, rz_new / rz)
             return p, rz_new
 
-        cache["step_pc"] = jax.jit(step_pc, donate_argnums=(1, 3))
+        cache["step_pc"] = jax.jit(step_pc, donate_argnums=(1,))
 
         def init(bb):
             bw = op_win.to_windowed(bb)
             norm0 = pv.pair_norm_f32(bw, w)
-            rhi = pv.pair_hi_node(op_win, bw)
-            return bw, norm0, rhi
+            return bw, norm0
 
         cache["init"] = jax.jit(init)
 
-        def init_pc(bw, rhi):
-            z = pv.pair_from_f32(op_win, precond_f32(rhi))
+        def init_pc(bw):
+            z = _apply_pc(bw)
             rz = pv.pair_dot(bw, z, w)
             return z, rz
 
-        cache["init_pc"] = jax.jit(init_pc, donate_argnums=(1,))
+        cache["init_pc"] = jax.jit(init_pc)
         cache["final"] = jax.jit(op_win.from_windowed)
-    bw, norm0, rhi = cache["init"](b)
-    z, rz = cache["init_pc"](bw, rhi)
+    bw, norm0 = cache["init"](b)
+    z, rz = cache["init_pc"](bw)
     tol = max(abs_tol, rtol * float(norm0))
     x = jnp.zeros_like(bw)
     r = bw
@@ -150,8 +161,8 @@ def cg_solve_stepped_pair(
     it = 0
     res = float(norm0)
     while res > tol and it < max_iterations:
-        x, r, res_d, rhi = cache["step_mv"](x, r, p, rz)
-        p, rz = cache["step_pc"](r, p, rz, rhi)
+        x, r, res_d = cache["step_mv"](x, r, p, rz)
+        p, rz = cache["step_pc"](r, p, rz)
         res = float(res_d)
         it += 1
     return CGResult(x=cache["final"](x), iterations=jnp.asarray(it),

@@ -395,8 +395,17 @@ class MultigridSolver:
         grid appears only at the restrict/prolongate boundary and at
         entry/exit.  Same math as the node body above — the window map is
         a bijection on interior dofs with consistent duplicate slots."""
+        opw, _ = self._sp_win[level]
+        return opw.from_windowed(self._v_cycle_windowed_core(
+            level, opw.to_windowed(defect), n_cyc))
+
+    def _v_cycle_windowed_core(self, level: int, d: jnp.ndarray,
+                               n_cyc: int) -> jnp.ndarray:
+        """Windowed-in/windowed-out level body: the zero-relayout entry the
+        pair-native CG preconditioner calls directly (its residual already
+        lives in the dp kernel's windowed pair layout, whose hi plane IS
+        the f32 defect)."""
         opw, smw = self._sp_win[level]
-        d = opw.to_windowed(defect)
         upd = None
         for c in range(n_cyc):
             upd = smw.vmult(d) if upd is None else smw.step(upd, d)
@@ -406,7 +415,7 @@ class MultigridSolver:
             cw = opw.to_windowed(self.transfers[level].prolongate(corr))
             upd = upd + cw
             upd = smw.step(upd, d)
-        return opw.from_windowed(upd)
+        return upd
 
     # ----------------------------------------------------------------- FMG
     def _fmg(self, rhs, u_bc):
@@ -539,11 +548,19 @@ class MultigridSolver:
 
             if not hasattr(self, "_cg_step_cache"):
                 self._cg_step_cache = {}
+            # when the finest-level V-cycle runs windowed too, hand the CG
+            # a windowed preconditioner: the whole CG iteration then has
+            # ZERO node-grid relayouts (the dp pair layout and the sp
+            # windowed layout share the same geometry)
+            use_win_pc = (L in self._sp_win
+                          and self._constrain is self._constrain_default)
             res: CGResult = cg_solve_stepped_pair(
                 self.dp_ops[L].win,
                 self.rhs[L],
-                precond_f32=lambda rn: self._constrain(
-                    L, self.v_cycle(L, rn, 1)),
+                precond_f32=None if use_win_pc else (
+                    lambda rn: self._constrain(L, self.v_cycle(L, rn, 1))),
+                precond_win=(lambda rw: self._v_cycle_windowed_core(
+                    L, rw, 1)) if use_win_pc else None,
                 max_iterations=max_iterations,
                 abs_tol=abs_tol, rtol=rtol,
                 _jit_cache=self._cg_step_cache,

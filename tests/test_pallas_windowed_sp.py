@@ -97,3 +97,24 @@ def test_windowed_vcycle_solver_matches_node_path():
     e_ref = float(ref.l2_error(L, jnp.asarray(f_ref)))
     e = float(s.l2_error(L, jnp.asarray(f)))
     assert e == pytest.approx(e_ref, rel=1e-3)
+
+
+def test_fully_windowed_pair_cg():
+    """dp pair CG + windowed sp preconditioner (interpret): the
+    zero-relayout hot loop (cg.cg_solve_stepped_pair precond_win) must
+    reproduce the node-path CG iteration count and solution."""
+    from experiments.poisson_cube import build_solver
+    from multigrid_tpu.mesh.brick import poisson_cube_mesh
+
+    mesh = poisson_cube_mesh(4)
+    ref = build_solver(mesh, 4, dp_impl="ozaki")
+    sol_ref, its_ref, red_ref = ref.solve_cg()
+    s = build_solver(mesh, 4, sp_impl="pallas_windowed",
+                     dp_impl="pallas_windowed")
+    assert s._sp_win and getattr(s.dp_ops[s.maxlevel], "win", None) is not None
+    sol, its, red = s.solve_cg()
+    assert "step_pc" in s._cg_step_cache   # the pair-stepped path ran
+    assert its == its_ref
+    assert red == pytest.approx(red_ref, rel=2e-2)
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref),
+                               atol=1e-9)
