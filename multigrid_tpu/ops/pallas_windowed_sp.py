@@ -76,6 +76,8 @@ class PallasWindowedSP:
             self.off.append(self.off[-1] + (m + 1) * N)
         self.Kstack = jnp.asarray(np.vstack(blocks), jnp.bfloat16)
         self._interior_axes = interior_axes_jnp(grid)
+        self._zy = None                                # install_diag_factors
+        self._fx = None
 
     @property
     def interior(self):
@@ -120,7 +122,10 @@ class PallasWindowedSP:
         return jnp.asarray(w)
 
     # -------------------------------------------------------------- kernel
-    def _kernel(self, x_hbm, kst_ref, out_ref, slab, carry, zcarry, sem):
+    def _matvec_planes(self, x_hbm, kst_ref, slab, carry, zcarry, sem):
+        """Shared matvec pipeline: DMA -> window -> limb matmuls ->
+        unscatter/carries/masks; returns the block's finished output
+        planes [p, RW, G] (all sequential carries resolved)."""
         zi = pl.program_id(0)
         yj = pl.program_id(1)
         p, n, N = self.p, self.n, self.N
@@ -211,8 +216,35 @@ class PallasWindowedSP:
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (RW, G), 1)
         xm = jnp.where((lane_ids == 0) | (lane_ids == G - 1), _f0, _f1)
         p0 = p0 * (zmask0 * ymask * xm)
-        b = jnp.concatenate([p0[None], wh[1:p] * (ymask * xm)[None]], axis=0)
-        out_ref[0, :, 0] = b                           # [p, RW, G]
+        return jnp.concatenate([p0[None], wh[1:p] * (ymask * xm)[None]],
+                               axis=0)                 # [p, RW, G]
+
+    def _kernel(self, x_hbm, kst_ref, out_ref, slab, carry, zcarry, sem):
+        out_ref[0, :, 0] = self._matvec_planes(
+            x_hbm, kst_ref, slab, carry, zcarry, sem)
+
+    def _kernel_cheb(self, x_hbm, b_ref, xold_ref, f12_ref, zy_ref, fx_ref,
+                     kst_ref, out_ref, slab, carry, zcarry, sem):
+        """Fused Chebyshev-update epilogue (the reference's action 3,
+        /root/reference/common/laplace_operator_dg.h:1839-1860):
+        ``x_new = x + f1 (x - x_old) + f2 diag^-1 (b - A x)`` emitted by
+        the same kernel pass that computes A x — the separate residual and
+        update streams over HBM disappear.  The separable diagonal is
+        rebuilt in-kernel from the [3, Z, Yp] z*y planes and [3, G]
+        windowed x factors."""
+        y = self._matvec_planes(x_hbm, kst_ref, slab, carry, zcarry, sem)
+        p = self.p
+        rows0 = pl.program_id(1) * self.cy_b * p
+        x_blk = slab[:p, pl.ds(rows0, self.cy_b * p)]  # [p, RW, G]
+        f1 = f12_ref[0, 0]
+        f2 = f12_ref[0, 1]
+        diag = None
+        for d in range(3):
+            term = zy_ref[d][:, :, None] * fx_ref[d][None, None, :]
+            diag = term if diag is None else diag + term
+        r = b_ref[...] - y
+        out_ref[0, :, 0] = (x_blk + f1 * (x_blk - xold_ref[...])
+                            + (f2 / diag) * r)
 
     def _fused(self, xw):
         n, G, cy_b = self.n, self.G, self.cy_b
@@ -252,19 +284,96 @@ class PallasWindowedSP:
             interpret=self.interpret,
         )(xw, self.Kstack)
 
+    def _finish(self, o):
+        """[cz, p, nyc, rows, G] kernel output -> padded [Z, Yp, G]."""
+        o = jax.lax.optimization_barrier(o)
+        o = o.reshape(self.cz * self.p, self.Y - 1, self.G)
+        return jnp.pad(o, ((0, 1), (0, self.Yp - self.Y + 1), (0, 0)))
+
     # ------------------------------------------------------ windowed apply
     def vmult_windowed(self, xw: jnp.ndarray) -> jnp.ndarray:
         """Windowed in/out; ASSUMES boundary-zero input (the V-cycle defect
         invariant) and returns a boundary-zero result."""
-        p, G = self.p, self.G
-        cz, Y, Yp = self.cz, self.Y, self.Yp
         # barriers pin the kernel operand/result as standalone values (the
         # dp kernel's measured fusion miscompile; see ops/pallas_windowed)
         xw = jax.lax.optimization_barrier(xw)
-        o = self._fused(xw)                            # [cz, p, nyc, r, G]
-        o = jax.lax.optimization_barrier(o)
-        o = o.reshape(cz * p, Y - 1, G)
-        return jnp.pad(o, ((0, 1), (0, Yp - Y + 1), (0, 0)))
+        return self._finish(self._fused(xw))
+
+    # --------------------------------------------- fused Chebyshev update
+    def install_diag_factors(self, lap_op) -> None:
+        """Bake the separable diagonal's factors for the in-kernel
+        rebuild: [3, Z, Yp] coefficient-scaled z*y planes and [3, G]
+        windowed x lines (from ops/laplace.LaplaceOperator._diag_lines)."""
+        assert isinstance(lap_op.coef, DiagCoef)
+        zy, fx = [], []
+        for d in range(3):
+            lines = lap_op._diag_lines[d]
+            fz = np.asarray(lines[0], np.float32)
+            fy = np.pad(np.asarray(lines[1], np.float32),
+                        (0, self.Yp - self.Y), constant_values=1.0)
+            zy.append(np.float32(lap_op.coef.values[d])
+                      * fz[:, None] * fy[None, :])
+            fx.append(self.window_x_line(np.asarray(lines[2], np.float32)))
+        self._zy = jnp.asarray(np.stack(zy))           # [3, Z, Yp]
+        self._fx = jnp.asarray(np.stack(fx))           # [3, G]
+
+    def cheb_fused(self, xw, xw_old, bw, f1, f2) -> jnp.ndarray:
+        """One fused Chebyshev iteration on windowed vectors:
+        ``x + f1 (x - x_old) + f2 diag^-1 (b - A x)`` in a single kernel
+        pass (f1/f2 are traced scalars, streamed via a tiny VMEM block, so
+        the whole recurrence reuses ONE compiled kernel)."""
+        assert self._zy is not None, "install_diag_factors first"
+        p, G, cy_b = self.p, self.G, self.cy_b
+        cz, nyc = self.cz, self.nyc
+        rows = cy_b * p
+        f12 = jnp.stack([jnp.asarray(f1, jnp.float32),
+                         jnp.asarray(f2, jnp.float32)]).reshape(1, 2)
+        xw, xw_old, bw = jax.lax.optimization_barrier((xw, xw_old, bw))
+        out_shape = jax.ShapeDtypeStruct((cz, p, nyc, rows, G), jnp.float32)
+        flops = (2 * sum((m + 1) for m in range(_MAX_M_SP + 1)) * self.N**2
+                 * self.cy * self.cx * cz)
+        blk = pl.BlockSpec((p, rows, G),
+                           lambda zi, yj: (zi, yj, _I0),
+                           memory_space=pltpu.VMEM)
+        o = pl.pallas_call(
+            self._kernel_cheb,
+            grid=(cz, nyc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                blk,                                   # b
+                blk,                                   # x_old
+                pl.BlockSpec((1, 2), lambda zi, yj: (_I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, p, rows),
+                             lambda zi, yj: (_I0, zi, yj),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, G), lambda zi, yj: (_I0, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.off[-1], self.N),
+                             lambda zi, yj: (_I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, p, 1, rows, G),
+                lambda zi, yj: (zi, _I0, yj, _I0, _I0),
+                memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((self.n, self.Yp, G), jnp.float32),
+                pltpu.VMEM((self.n, self.n, self.cx), jnp.float32),
+                pltpu.VMEM((self.cy * p, G), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=4 * xw.size * 4,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xw, bw, xw_old, f12, self._zy, self._fx, self.Kstack)
+        return self._finish(o)
 
     # ------------------------------------------------- node-grid interface
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:
@@ -279,6 +388,55 @@ class PallasWindowedSP:
         y = self.vmult(jnp.where(self.interior, lhs, 0))
         y = jnp.where(self.interior, y, 0)
         return jnp.where(self.interior, rhs - y, rhs - lhs)
+
+
+class FusedChebyshev:
+    """First-kind Chebyshev smoother with every iteration's residual and
+    vector update fused into the windowed sp kernel (PallasWindowedSP
+    .cheb_fused) — the TPU analogue of the reference's action-3 merged
+    matvec (/root/reference/common/laplace_operator_dg.h:910-955,
+    1839-1860).  Drop-in for solvers.chebyshev.Chebyshev on windowed
+    vectors; the interval (theta, delta, degree) is cloned from the node
+    smoother's Lanczos estimate (same operator spectrum)."""
+
+    def __init__(self, op: PallasWindowedSP, inv_diag_fn, theta: float,
+                 delta: float, degree: int, max_eig: float, min_eig: float):
+        assert op._zy is not None, "install_diag_factors first"
+        self.op = op
+        self.vmult_op = op.vmult_windowed
+        self.inv_diag_fn = inv_diag_fn
+        self.precond = lambda r: inv_diag_fn() * r
+        self.theta = theta
+        self.delta = delta
+        self.degree = degree
+        self.max_eig = max_eig
+        self.min_eig = min_eig
+        self.kind = "first_kind"
+
+    def _loop(self, x, x_old, b):
+        th, de = self.theta, self.delta
+        if self.degree <= 1:
+            return x
+
+        def body(_, s):
+            x, x_old, rho = s
+            rho_new = 1.0 / (2.0 * th / de - rho)
+            f1 = rho_new * rho
+            f2 = 2.0 * rho_new / de
+            return (self.op.cheb_fused(x, x_old, b, f1, f2), x, rho_new)
+
+        rho0 = jnp.asarray(de / th, x.dtype)
+        x, _, _ = jax.lax.fori_loop(0, self.degree - 1, body, (x, x_old, rho0))
+        return x
+
+    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
+        x = self.inv_diag_fn() * b * (1.0 / self.theta)
+        return self._loop(x, jnp.zeros_like(b), b)
+
+    def step(self, x0: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        # x0 + P^-1 (b - A x0) / theta == one fused pass with f1 = 0
+        x = self.op.cheb_fused(x0, x0, b, 0.0, 1.0 / self.theta)
+        return self._loop(x, x0, b)
 
 
 def windowed_inv_diag_factory(op_win: PallasWindowedSP, lap_op):

@@ -283,7 +283,8 @@ class MultigridSolver:
         # operator spectrum; the Lanczos estimate ran on the node path).
         self._sp_win = {}
         if sp_impl == "pallas_windowed":
-            from ..ops.pallas_windowed_sp import (PallasWindowedSP,
+            from ..ops.pallas_windowed_sp import (FusedChebyshev,
+                                                  PallasWindowedSP,
                                                   windowed_inv_diag_factory)
 
             interpret = jax.default_backend() != "tpu"
@@ -296,13 +297,21 @@ class MultigridSolver:
                     continue
                 opw = PallasWindowedSP(g, make_diag_coef(g, coefficient),
                                        interpret=interpret)
+                opw.install_diag_factors(self.ops[l])
                 inv_diag = windowed_inv_diag_factory(opw, self.ops[l])
                 sm = self.smoothers[l]
-                self._sp_win[l] = (opw, Chebyshev(
-                    vmult_op=opw.vmult_windowed,
-                    precond=lambda r, _f=inv_diag: _f() * r,
-                    theta=sm.theta, delta=sm.delta, degree=sm.degree,
-                    max_eig=sm.max_eig, min_eig=sm.min_eig, kind=sm.kind))
+                if sm.kind == FIRST_KIND:
+                    smw = FusedChebyshev(
+                        opw, inv_diag, theta=sm.theta, delta=sm.delta,
+                        degree=sm.degree, max_eig=sm.max_eig,
+                        min_eig=sm.min_eig)
+                else:
+                    smw = Chebyshev(
+                        vmult_op=opw.vmult_windowed,
+                        precond=lambda r, _f=inv_diag: _f() * r,
+                        theta=sm.theta, delta=sm.delta, degree=sm.degree,
+                        max_eig=sm.max_eig, min_eig=sm.min_eig, kind=sm.kind)
+                self._sp_win[l] = (opw, smw)
                 _tick(f"sp_win[{l}]")
 
         self._fmg_jit = None

@@ -68,6 +68,39 @@ def test_windowed_inv_diag_matches_node():
     np.testing.assert_allclose(got[interior], want[interior], rtol=1e-6)
 
 
+def test_fused_chebyshev_matches_generic():
+    """FusedChebyshev (in-kernel action-3 epilogue) must reproduce the
+    generic Chebyshev recurrence on windowed vectors to f32 roundoff."""
+    from multigrid_tpu.ops.pallas_windowed_sp import FusedChebyshev
+    from multigrid_tpu.solvers.chebyshev import Chebyshev
+
+    grid = make_grid((2, 4, 4))
+    opw = PallasWindowedSP(grid, cy_chunk=2, interpret=True)
+    lap = LaplaceOperator(grid, jnp.float32, make_diag_coef(grid))
+    opw.install_diag_factors(lap)
+    inv = windowed_inv_diag_factory(opw, lap)
+    theta, delta, deg = 1.7, 1.3, 3
+    gen = Chebyshev(vmult_op=opw.vmult_windowed,
+                    precond=lambda r: inv() * r,
+                    theta=theta, delta=delta, degree=deg,
+                    max_eig=1.0, min_eig=0.1)
+    fus = FusedChebyshev(opw, inv, theta, delta, deg, 1.0, 0.1)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(grid.shape),
+                    jnp.float32)
+    b = opw.to_windowed(jnp.where(opw.interior, x, 0))
+    x0 = opw.to_windowed(jnp.where(
+        opw.interior,
+        jnp.asarray(np.random.default_rng(6).standard_normal(grid.shape),
+                    jnp.float32), 0))
+    for name, got, want in [
+        ("vmult", fus.vmult(b), gen.vmult(b)),
+        ("step", fus.step(x0, b), gen.step(x0, b)),
+    ]:
+        got, want = np.asarray(got), np.asarray(want)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=3e-6 * scale, err_msg=name)
+
+
 def test_windowed_vcycle_solver_matches_node_path():
     """Full FMG + CG with sp_impl="pallas_windowed" (interpret): iteration
     counts must match the node path exactly and solutions to sp-smoother
