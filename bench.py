@@ -57,6 +57,16 @@ def bench_fmg(size: int, dp_impl: str | None = None,
         sol = solver.solve()
         sol.block_until_ready()
         best = min(best, time.perf_counter() - t0)
+    # correctness guard: a Mosaic kernel that compiles but miscompiles
+    # (observed once on v5e, RESULTS_R3 finding 5) must not produce a
+    # wrong-but-fast headline — any real FMG solve at these sizes has
+    # L2 error <= ~1.5e-7 (host-side error analysis, HBM-free)
+    err = float(solver.l2_error(solver.maxlevel, sol))
+    print(f"# fmg({size}) L2 error: {err:.4e}", file=sys.stderr)
+    import math
+    if not math.isfinite(err) or err > 1e-5:
+        raise RuntimeError(f"FMG L2 error {err:.3e} out of range "
+                           "(kernel miscompile?)")
     # secondary: dp matvec on the same operator
     import jax.numpy as jnp
 

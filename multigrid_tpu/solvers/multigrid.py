@@ -288,11 +288,15 @@ class MultigridSolver:
                                                   windowed_inv_diag_factory)
 
             interpret = jax.default_backend() != "tpu"
+            # MGT_SP_WIN_CX64=1 extends the kernel to cx % 64 == 0 levels
+            # (one more V-cycle level windowed; Mosaic padded-tile lanes —
+            # measure before making it the default)
+            cxq = 64 if _os.environ.get("MGT_SP_WIN_CX64") else 128
             for l in range(self.minlevel + 1, L):
                 g = self.grids[l]
                 if not (g.dim == 3 and g.degree == 4
                         and isinstance(self.ops[l].coef, DiagCoef)
-                        and (interpret or (g.cells[2] % 128 == 0
+                        and (interpret or (g.cells[2] % cxq == 0
                                            and g.n_dofs > chunk_threshold))):
                     continue
                 opw = PallasWindowedSP(g, make_diag_coef(g, coefficient),
