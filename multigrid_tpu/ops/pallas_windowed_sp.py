@@ -98,11 +98,51 @@ class PallasWindowedSP:
             out[j * cx:(j + 1) * cx] = f[idx]
         return out
 
+    def _perm_matrices(self):
+        """0/1 window permutation matrices for the MXU relayout path
+        (lazy; bf16 — exact, since every output lane receives exactly ONE
+        product and 0/1 times a bf16 limb is exact)."""
+        if getattr(self, "_Pwin", None) is None:
+            p, cx, X, G = self.p, self.cx, self.X, self.G
+            Pw = np.zeros((X, G), np.float32)
+            for j in range(p + 1):
+                for i in range(cx):
+                    Pw[min(p * i + j, X - 1), j * cx + i] = 1.0
+            Pu = np.zeros((G, X), np.float32)
+            for nn in range(X - 1):
+                Pu[(nn % p) * cx + nn // p, nn] = 1.0
+            Pu[p * cx + cx - 1, X - 1] = 1.0
+            self._Pwin = jnp.asarray(Pw, jnp.bfloat16)
+            self._Punw = jnp.asarray(Pu, jnp.bfloat16)
+        return self._Pwin, self._Punw
+
+    @staticmethod
+    def _perm_mm(a: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
+        """Exact f32 permutation matmul via a 3-limb bf16 split (8+8+8
+        bits cover the 24-bit significand; round-to-nearest remainders are
+        exact by Sterbenz, and each output lane receives exactly one
+        product per limb): the lane relayout rides the MXU instead of
+        XLA's padded-copy shifts (the measured ~19 ms/plane glue at
+        513^3).  Bit-exactness is pinned in tests."""
+        dims = (((a.ndim - 1,), (0,)), ((), ()))
+        y = None
+        r = a
+        for _ in range(3):
+            limb = r.astype(jnp.bfloat16)
+            r = r - limb.astype(jnp.float32)
+            t = jax.lax.dot_general(limb, P, dims,
+                                    preferred_element_type=jnp.float32)
+            y = t if y is None else y + t
+        return y
+
     def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
         """f32 node grid [Z, Y, X] -> windowed [Z, Yp, G]."""
         Z, Y, X = self.Z, self.Y, self.X
         p, cx, G, Yp = self.p, self.cx, self.G, self.Yp
         a = x.astype(jnp.float32)
+        if not self.interpret:
+            w = self._perm_mm(a, self._perm_matrices()[0])
+            return jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
         m = a[..., : X - 1].reshape(Z, Y, cx, p)
         t = a[..., 1:].reshape(Z, Y, cx, p)[..., p - 1:]
         w = jnp.concatenate([m, t], axis=3)            # [Z, Y, cx, n]
@@ -113,6 +153,8 @@ class PallasWindowedSP:
         """Windowed [Z, Yp, G] -> f32 node grid [Z, Y, X]."""
         Z, Y, X = self.Z, self.Y, self.X
         p, n, cx = self.p, self.n, self.cx
+        if not self.interpret:
+            return self._perm_mm(w[:, :Y], self._perm_matrices()[1])
         v = w[:, :Y].reshape(Z, Y, n, cx)
         main = v[:, :, :p].transpose(0, 1, 3, 2).reshape(Z, Y, cx * p)
         last = v[:, :, p, cx - 1: cx]

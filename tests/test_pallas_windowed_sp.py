@@ -57,6 +57,24 @@ def test_windowed_sp_roundtrip_and_dups():
     np.testing.assert_allclose(jp[..., : cx - 1], j0[..., 1:], atol=0)
 
 
+def test_perm_matmul_conversions_match_reshape():
+    """The MXU permutation-matmul relayout (TPU path) must equal the
+    reshape/concat relayout bit-for-bit (0/1 matrix, 2-limb bf16 split:
+    every output lane receives exactly one exact product)."""
+    grid = make_grid((2, 3, 4))
+    op = PallasWindowedSP(grid, interpret=True)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal(grid.shape),
+                    jnp.float32)
+    w_ref = op.to_windowed(x)                  # reshape path (interpret)
+    Pw, Pu = op._perm_matrices()
+    w_mm = jnp.pad(op._perm_mm(x, Pw),
+                   ((0, 0), (0, op.Yp - op.Y), (0, 0)))
+    np.testing.assert_array_equal(np.asarray(w_mm), np.asarray(w_ref))
+    back_mm = op._perm_mm(w_ref[:, :op.Y], Pu)
+    np.testing.assert_array_equal(np.asarray(back_mm),
+                                  np.asarray(op.from_windowed(w_ref)))
+
+
 def test_windowed_inv_diag_matches_node():
     grid = make_grid((2, 3, 4))
     opw = PallasWindowedSP(grid, interpret=True)
