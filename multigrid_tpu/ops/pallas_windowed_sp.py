@@ -292,6 +292,13 @@ class PallasWindowedSP:
         out_ref[0, :, 0] = (x_blk + f1 * (x_blk - xold_ref[...])
                             + (f2 / diag) * r)
 
+    def _kernel_resid(self, x_hbm, b_ref, kst_ref, out_ref, slab, carry,
+                      zcarry, sem):
+        """Fused residual epilogue (reference action 4): b - A x in the
+        matvec pass."""
+        y = self._matvec_planes(x_hbm, kst_ref, slab, carry, zcarry, sem)
+        out_ref[0, :, 0] = b_ref[...] - y
+
     def _fused(self, xw):
         n, G, cy_b = self.n, self.G, self.cy_b
         p = self.p
@@ -344,6 +351,50 @@ class PallasWindowedSP:
         # dp kernel's measured fusion miscompile; see ops/pallas_windowed)
         xw = jax.lax.optimization_barrier(xw)
         return self._finish(self._fused(xw))
+
+    def resid_fused(self, xw: jnp.ndarray, bw: jnp.ndarray) -> jnp.ndarray:
+        """b - A x on windowed vectors, one kernel pass (the V-cycle's
+        pre-restrict residual; saves the separate subtract stream)."""
+        p, G, cy_b = self.p, self.G, self.cy_b
+        cz, nyc = self.cz, self.nyc
+        rows = cy_b * p
+        xw, bw = jax.lax.optimization_barrier((xw, bw))
+        out_shape = jax.ShapeDtypeStruct((cz, p, nyc, rows, G), jnp.float32)
+        flops = (2 * sum((m + 1) for m in range(_MAX_M_SP + 1)) * self.N**2
+                 * self.cy * self.cx * cz)
+        o = pl.pallas_call(
+            self._kernel_resid,
+            grid=(cz, nyc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((p, rows, G),
+                             lambda zi, yj: (zi, yj, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.off[-1], self.N),
+                             lambda zi, yj: (_I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, p, 1, rows, G),
+                lambda zi, yj: (zi, _I0, yj, _I0, _I0),
+                memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((self.n, self.Yp, G), jnp.float32),
+                pltpu.VMEM((self.n, self.n, self.cx), jnp.float32),
+                pltpu.VMEM((self.cy * p, G), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=3 * xw.size * 4,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xw, bw, self.Kstack)
+        return self._finish(o)
 
     # --------------------------------------------- fused Chebyshev update
     def install_diag_factors(self, lap_op) -> None:

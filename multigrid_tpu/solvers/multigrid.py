@@ -422,7 +422,7 @@ class MultigridSolver:
         upd = None
         for c in range(n_cyc):
             upd = smw.vmult(d) if upd is None else smw.step(upd, d)
-            t = d - opw.vmult_windowed(upd)
+            t = opw.resid_fused(upd, d)
             dc = self.transfers[level].restrict(opw.from_windowed(t))
             corr = self.v_cycle(level - 1, dc, 1)
             cw = opw.to_windowed(self.transfers[level].prolongate(corr))

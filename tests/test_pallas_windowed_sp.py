@@ -150,6 +150,25 @@ def test_windowed_vcycle_solver_matches_node_path():
     assert e == pytest.approx(e_ref, rel=1e-3)
 
 
+def test_windowed_disables_under_distributed():
+    """DistributedMultigrid replaces the sharding hook; the windowed sp
+    path (single-device layout) must silently step aside and the
+    distributed solve must still match the reference anchors."""
+    from experiments.poisson_cube import build_solver
+    from multigrid_tpu.mesh.brick import poisson_cube_mesh
+    from multigrid_tpu.parallel.distributed import DistributedMultigrid
+    from multigrid_tpu.parallel.sharding import make_mesh
+
+    mesh = poisson_cube_mesh(4)
+    s = build_solver(mesh, 4, sp_impl="pallas_windowed", dp_impl="ozaki")
+    assert s._sp_win
+    DistributedMultigrid(s, make_mesh(2, ("z",)))
+    assert s._constrain is not s._constrain_default
+    sol, its, red = s.solve_cg()
+    assert its == 8
+    assert red == pytest.approx(6.709e-2, rel=2e-2)
+
+
 def test_fully_windowed_pair_cg():
     """dp pair CG + windowed sp preconditioner (interpret): the
     zero-relayout hot loop (cg.cg_solve_stepped_pair precond_win) must
