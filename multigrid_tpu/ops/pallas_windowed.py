@@ -98,19 +98,37 @@ class PallasWindowedOzaki:
         return bcast_and(self._interior_axes)
 
     # -------------------------------------------------- layout conversions
+    def _perm(self):
+        if getattr(self, "_Pwin", None) is None:
+            from .pallas_windowed_sp import window_perm_matrices
+
+            self._Pwin, self._Punw = window_perm_matrices(
+                self.p, self.cx, self.X, self.G)
+        return self._Pwin, self._Punw
+
     def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
         """f64 node grid [Z, Y, X] -> windowed pair [Z, 2, Yp, G]
-        (boundary values preserved; solver-boundary use)."""
+        (boundary values preserved; solver-boundary use).  On hardware the
+        lane relayout rides the MXU as an exact 0/1 permutation matmul
+        (pallas_windowed_sp.perm_mm); interpret/CPU keeps reshapes."""
         Z, Y, X = self.Z, self.Y, self.X
         p, n, cx, G, Yp = self.p, self.n, self.cx, self.G, self.Yp
         xh, xl = split_f64(x)
 
-        def win(a):
-            m = a[..., : X - 1].reshape(Z, Y, cx, p)
-            t = a[..., 1:].reshape(Z, Y, cx, p)[..., p - 1 :]
-            w = jnp.concatenate([m, t], axis=3)        # [Z, Y, cx, n]
-            w = w.transpose(0, 1, 3, 2).reshape(Z, Y, G)
-            return jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
+        if not self.interpret:
+            from .pallas_windowed_sp import perm_mm
+
+            Pw = self._perm()[0]
+
+            def win(a):
+                return jnp.pad(perm_mm(a, Pw), ((0, 0), (0, Yp - Y), (0, 0)))
+        else:
+            def win(a):
+                m = a[..., : X - 1].reshape(Z, Y, cx, p)
+                t = a[..., 1:].reshape(Z, Y, cx, p)[..., p - 1 :]
+                w = jnp.concatenate([m, t], axis=3)    # [Z, Y, cx, n]
+                w = w.transpose(0, 1, 3, 2).reshape(Z, Y, G)
+                return jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
 
         return jnp.stack([win(xh), win(xl)], axis=1)
 
@@ -119,11 +137,19 @@ class PallasWindowedOzaki:
         Z, Y, X = self.Z, self.Y, self.X
         p, n, cx, G = self.p, self.n, self.cx, self.G
 
-        def unwin(a):                                   # [Z, Y, G] -> [Z,Y,X]
-            v = a.reshape(Z, Y, n, cx)
-            main = v[:, :, :p].transpose(0, 1, 3, 2).reshape(Z, Y, cx * p)
-            last = v[:, :, p, cx - 1 : cx]
-            return jnp.concatenate([main, last], axis=-1)
+        if not self.interpret:
+            from .pallas_windowed_sp import perm_mm
+
+            Pu = self._perm()[1]
+
+            def unwin(a):
+                return perm_mm(a, Pu)
+        else:
+            def unwin(a):                               # [Z, Y, G] -> [Z,Y,X]
+                v = a.reshape(Z, Y, n, cx)
+                main = v[:, :, :p].transpose(0, 1, 3, 2).reshape(Z, Y, cx * p)
+                last = v[:, :, p, cx - 1 : cx]
+                return jnp.concatenate([main, last], axis=-1)
 
         return join_f64(unwin(w[:, 0, : Y]), unwin(w[:, 1, : Y]))
 

@@ -46,6 +46,39 @@ _N_LIMBS_SP = 3
 _MAX_M_SP = 2         # pairs k+l <= 2: 6 block products, ~2^-24 truncation
 
 
+def window_perm_matrices(p: int, cx: int, X: int, G: int):
+    """0/1 x-window permutation matrices (node->window [X, G] and
+    window->node [G, X]) as bf16 device constants for the MXU relayout."""
+    Pw = np.zeros((X, G), np.float32)
+    for j in range(p + 1):
+        for i in range(cx):
+            Pw[min(p * i + j, X - 1), j * cx + i] = 1.0
+    Pu = np.zeros((G, X), np.float32)
+    for nn in range(X - 1):
+        Pu[(nn % p) * cx + nn // p, nn] = 1.0
+    Pu[p * cx + cx - 1, X - 1] = 1.0
+    return jnp.asarray(Pw, jnp.bfloat16), jnp.asarray(Pu, jnp.bfloat16)
+
+
+def perm_mm(a: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
+    """Exact f32 permutation matmul via a 3-limb bf16 split (8+8+8 bits
+    cover the 24-bit significand; round-to-nearest remainders are exact by
+    Sterbenz, and each output lane receives exactly one product per limb):
+    the lane relayout rides the MXU instead of XLA's padded-copy shifts
+    (the measured ~19 ms/plane glue at 513^3).  Bit-exact, pinned in
+    tests."""
+    dims = (((a.ndim - 1,), (0,)), ((), ()))
+    y = None
+    r = a
+    for _ in range(3):
+        limb = r.astype(jnp.bfloat16)
+        r = r - limb.astype(jnp.float32)
+        t = jax.lax.dot_general(limb, P, dims,
+                                preferred_element_type=jnp.float32)
+        y = t if y is None else y + t
+    return y
+
+
 class PallasWindowedSP:
     """sp A·u on windowed f32 vectors; p=4 3-D structured bricks."""
 
@@ -103,37 +136,11 @@ class PallasWindowedSP:
         (lazy; bf16 — exact, since every output lane receives exactly ONE
         product and 0/1 times a bf16 limb is exact)."""
         if getattr(self, "_Pwin", None) is None:
-            p, cx, X, G = self.p, self.cx, self.X, self.G
-            Pw = np.zeros((X, G), np.float32)
-            for j in range(p + 1):
-                for i in range(cx):
-                    Pw[min(p * i + j, X - 1), j * cx + i] = 1.0
-            Pu = np.zeros((G, X), np.float32)
-            for nn in range(X - 1):
-                Pu[(nn % p) * cx + nn // p, nn] = 1.0
-            Pu[p * cx + cx - 1, X - 1] = 1.0
-            self._Pwin = jnp.asarray(Pw, jnp.bfloat16)
-            self._Punw = jnp.asarray(Pu, jnp.bfloat16)
+            self._Pwin, self._Punw = window_perm_matrices(
+                self.p, self.cx, self.X, self.G)
         return self._Pwin, self._Punw
 
-    @staticmethod
-    def _perm_mm(a: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
-        """Exact f32 permutation matmul via a 3-limb bf16 split (8+8+8
-        bits cover the 24-bit significand; round-to-nearest remainders are
-        exact by Sterbenz, and each output lane receives exactly one
-        product per limb): the lane relayout rides the MXU instead of
-        XLA's padded-copy shifts (the measured ~19 ms/plane glue at
-        513^3).  Bit-exactness is pinned in tests."""
-        dims = (((a.ndim - 1,), (0,)), ((), ()))
-        y = None
-        r = a
-        for _ in range(3):
-            limb = r.astype(jnp.bfloat16)
-            r = r - limb.astype(jnp.float32)
-            t = jax.lax.dot_general(limb, P, dims,
-                                    preferred_element_type=jnp.float32)
-            y = t if y is None else y + t
-        return y
+    _perm_mm = staticmethod(lambda a, P: perm_mm(a, P))
 
     def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
         """f32 node grid [Z, Y, X] -> windowed [Z, Yp, G]."""

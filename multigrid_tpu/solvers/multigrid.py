@@ -710,8 +710,23 @@ class MultigridSolver:
             self._vmult_dp_jit = jax.jit(fn)
         return self._vmult_dp_jit(x)
 
+    def matvec_native_sp(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Convert an sp node grid to the finest sp operator's persistent
+        vector format (windowed when the fused smoother kernel is
+        installed; identity otherwise).  Cf. matvec_native."""
+        if self.maxlevel in self._sp_win:
+            opw, _ = self._sp_win[self.maxlevel]
+            return self._jit_of(("mvsp", "towin"), lambda v: opw.to_windowed(
+                jnp.where(opw.interior, v, 0)))(x)
+        return x
+
     def do_matvec_smoother(self, x: jnp.ndarray) -> jnp.ndarray:
-        """sp matvec benchmark entry (multigrid_solver.h:632-637)."""
+        """sp matvec benchmark entry (multigrid_solver.h:632-637); operates
+        on the native sp vector format (see matvec_native_sp)."""
         if self._vmult_sp_jit is None:
-            self._vmult_sp_jit = jax.jit(self.sp_ops[self.maxlevel].vmult)
+            if self.maxlevel in self._sp_win:
+                fn = self._sp_win[self.maxlevel][0].vmult_windowed
+            else:
+                fn = self.sp_ops[self.maxlevel].vmult
+            self._vmult_sp_jit = jax.jit(fn)
         return self._vmult_sp_jit(x)

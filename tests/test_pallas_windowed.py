@@ -43,6 +43,25 @@ def test_windowed_roundtrip():
     np.testing.assert_allclose(back, np.asarray(x), rtol=0, atol=4e-15)
 
 
+def test_pair_perm_conversions_match_reshape():
+    """The MXU permutation-matmul pair relayout (hardware path) must be
+    bit-identical to the reshape path (exact 3-limb bf16 split per f32
+    component; see ops/pallas_windowed_sp.perm_mm)."""
+    grid = make_grid((2, 3, 4))
+    op = PallasWindowedOzaki(grid, interpret=True)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal(grid.shape))
+    w_ref = np.asarray(op.to_windowed(x))
+    b_ref = np.asarray(op.from_windowed(jnp.asarray(w_ref)))
+    op.interpret = False          # conversions only; the kernel stays off
+    try:
+        w_mm = np.asarray(op.to_windowed(x))
+        b_mm = np.asarray(op.from_windowed(jnp.asarray(w_ref)))
+    finally:
+        op.interpret = True
+    np.testing.assert_array_equal(w_mm, w_ref)
+    np.testing.assert_array_equal(b_mm, b_ref)
+
+
 def test_windowed_duplicate_consistency():
     """The kernel's j=p output block must duplicate j=0 shifted by a cell."""
     grid = make_grid((2, 4, 4))
