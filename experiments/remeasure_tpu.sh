@@ -36,6 +36,11 @@ BENCH_METRIC=matvec phase mv_fused 1800 python bench.py
 BENCH_METRIC=matvec BENCH_DP_IMPL=ozaki_chunked BENCH_SP_IMPL=dense_chunked \
     phase mv_xla 1800 python bench.py
 
+# 3b. FMG knob A/Bs: node-grid dp entries via the fused kernel; windowed
+#     smoother extended to the cx=64 level
+MGT_DP_NODE_VIA_WIN=1 phase bench_dpwin 2400 python bench.py
+MGT_SP_WIN_CX64=1 phase bench_cx64 2400 python bench.py
+
 # 4. shell ladder to >=10M dofs (mixed + the pure-double/fourth-kind
 #    reference specialization)
 phase shell 5400 python experiments/poisson_shell.py 4 12000000 1 3 3

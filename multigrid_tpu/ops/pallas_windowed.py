@@ -392,16 +392,26 @@ class WindowedHybridOzaki:
     ``.win`` (PallasWindowedOzaki) serves the pair-native CG hot loop —
     persistent windowed vectors, zero per-iteration conversions.  All f64
     node-grid entry points (FMG residuals, rhs assembly, diagnostics)
-    delegate to a DenseLaplaceOzakiChunked, whose node-grid interface is
-    faster than windowed-with-conversions for one-shot applies.  Same limb
-    scheme on both sides: bit-exact agreement (tests/test_pallas_windowed)."""
+    delegate to a DenseLaplaceOzakiChunked by default: with the ROUND-2
+    XLA relayouts, windowed-with-conversions was slower for one-shot
+    applies.  ``MGT_DP_NODE_VIA_WIN=1`` re-routes node-grid vmult /
+    vmult_residual through the kernel + MXU permutation conversions
+    (pallas_windowed_sp.perm_mm) — expected ~80 ms vs 124 ms per
+    flagship FMG residual; measure before defaulting (A/B via
+    experiments/remeasure_tpu.sh).  Same limb scheme on both sides:
+    bit-exact agreement (tests/test_pallas_windowed)."""
 
     def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
                  interpret: bool = False):
+        import os
+
         from .laplace_dense import DenseLaplaceOzakiChunked
 
         self.win = PallasWindowedOzaki(grid, coef, interpret=interpret)
         self._chunked = DenseLaplaceOzakiChunked(grid, coef)
+        if os.environ.get("MGT_DP_NODE_VIA_WIN"):
+            self.vmult = self.win.vmult
+            self.vmult_residual = self.win.vmult_residual
 
     def __getattr__(self, name):
         return getattr(self._chunked, name)
