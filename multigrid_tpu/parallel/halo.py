@@ -101,12 +101,32 @@ class HaloLaplace:
             m = m[0]
             d = jax.lax.axis_index(axis)
             xm = jnp.where(m, x, 0)
-            y = op.apply_cells(xm)
-            # compress(add): my first-plane partial belongs to the left
-            # neighbor's last plane
-            first = y[0]
-            from_right = (jax.lax.ppermute(first, axis, bwd) if comm
-                          else jnp.zeros_like(first))
+            if self.loc_cells >= 2:
+                # comm/compute OVERLAP schedule (the reference's
+                # cell_schedule_list, laplace_operator_dg.h:607-723, done
+                # the XLA way): the compress exchange needs only the first
+                # z-cell layer's partial, so that layer is computed FIRST
+                # and the collective's dependency cone excludes the bulk
+                # apply — XLA's latency-hiding scheduler can then run the
+                # remaining layers while the permute is in flight.
+                # Structurally asserted in tests/test_overlap.py via
+                # jaxpr-cone analysis.  Term-identical to the unsplit
+                # apply (shared-plane contributions commute; sub-slab dot
+                # shapes may vectorize reductions 1 ulp differently).
+                y0 = op.apply_cells(xm[: p + 1])
+                first = y0[0]
+                from_right = (jax.lax.ppermute(first, axis, bwd) if comm
+                              else jnp.zeros_like(first))
+                y_rest = op.apply_cells(xm[p:])
+                y = jnp.concatenate(
+                    [y0[:p], (y0[p] + y_rest[0])[None], y_rest[1:]], axis=0)
+            else:
+                y = op.apply_cells(xm)
+                # compress(add): my first-plane partial belongs to the left
+                # neighbor's last plane
+                first = y[0]
+                from_right = (jax.lax.ppermute(first, axis, bwd) if comm
+                              else jnp.zeros_like(first))
             y = y.at[-1].add(jnp.where(d < nd - 1, 1.0, 0.0) * from_right)
             # update_ghost_values: completed last plane -> right neighbor
             last = y[-1]
