@@ -272,21 +272,54 @@ class HaloLaplace2D:
         fwd_y = [(i, (i + 1) % ndy) for i in range(ndy)]
         bwd_y = [(i, (i - 1) % ndy) for i in range(ndy)]
 
+        p = op.grid.degree
+        split = self.loc_cells[0] >= 2 and self.loc_cells[1] >= 2
+
         def body(x, m):
             x = x[0, 0]
             m = m[0, 0]
             dz = jax.lax.axis_index(az)
             dy = jax.lax.axis_index(ay)
             xm = jnp.where(m, x, 0)
-            y = op.apply_cells(xm)
-            # compress(add), z then y (corner partials ride both passes)
-            fz = y[0]
-            from_right_z = (jax.lax.ppermute(fz, az, bwd_z) if comm
-                            else jnp.zeros_like(fz))
-            y = y.at[-1].add(jnp.where(dz < ndz - 1, 1.0, 0.0) * from_right_z)
-            fy = y[:, 0]
-            from_right_y = (jax.lax.ppermute(fy, ay, bwd_y) if comm
-                            else jnp.zeros_like(fy))
+            if split:
+                # three-box overlap schedule (cf. HaloLaplace.body): the
+                # z-compress permute waits only for the z-layer-0 box, the
+                # y-compress for z-layer-0 + the y-layer-0 strip (plus the
+                # z permute — corner routing is inherently ordered); the
+                # BULK box is outside both cones and overlaps both
+                # exchanges under XLA's latency-hiding scheduler.
+                S1 = op.apply_cells(xm[: p + 1])           # z-layer 0
+                fz = S1[0]
+                from_right_z = (jax.lax.ppermute(fz, az, bwd_z) if comm
+                                else jnp.zeros_like(fz))
+                S2 = op.apply_cells(xm[p:, : p + 1])       # z-rest, y-lay 0
+                fy = jnp.concatenate(
+                    [S1[:p, 0], (S1[p, 0] + S2[0, 0])[None], S2[1:, 0]],
+                    axis=0)
+                fy = fy.at[-1].add(jnp.where(dz < ndz - 1, 1.0, 0.0)
+                                   * from_right_z[0])
+                from_right_y = (jax.lax.ppermute(fy, ay, bwd_y) if comm
+                                else jnp.zeros_like(fy))
+                S3 = op.apply_cells(xm[p:, p:])            # the bulk
+                ymid = jnp.concatenate(
+                    [S2[:, :p], (S2[:, p] + S3[:, 0])[:, None], S3[:, 1:]],
+                    axis=1)
+                y = jnp.concatenate(
+                    [S1[:p], (S1[p] + ymid[0])[None], ymid[1:]], axis=0)
+            else:
+                y = op.apply_cells(xm)
+                # compress(add), z then y (corners ride both passes)
+                fz = y[0]
+                from_right_z = (jax.lax.ppermute(fz, az, bwd_z) if comm
+                                else jnp.zeros_like(fz))
+                y = y.at[-1].add(jnp.where(dz < ndz - 1, 1.0, 0.0)
+                                 * from_right_z)
+                fy = y[:, 0]
+                from_right_y = (jax.lax.ppermute(fy, ay, bwd_y) if comm
+                                else jnp.zeros_like(fy))
+            if split:
+                y = y.at[-1].add(jnp.where(dz < ndz - 1, 1.0, 0.0)
+                                 * from_right_z)
             y = y.at[:, -1].add(jnp.where(dy < ndy - 1, 1.0, 0.0)
                                 * from_right_y)
             # ghost updates in reverse order (y then z) so the corner

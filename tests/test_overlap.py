@@ -54,3 +54,27 @@ def test_compress_exchange_cone_excludes_bulk():
     rep = collective_overlap_report(fn, h.distribute(u), masks)
     assert rep["flops_total"] > 0
     assert rep["overlappable_fraction"] >= 0.6, rep
+
+
+def test_2d_halo_cone_excludes_bulk():
+    """Three-box schedule on the ('z','y') halo operator: the z-compress
+    permute's cone holds only the z-layer-0 box."""
+    from multigrid_tpu.parallel.halo import HaloLaplace2D
+
+    mesh = BrickMesh(coarse_cells=(8, 8, 2), origin=(0.0,) * 3,
+                     lengths=(1.0,) * 3, n_levels=2)
+    g = DofGrid(mesh, 1, 4)
+    op = LaplaceOperator(g, jnp.float32, make_diag_coef(g))
+    h = HaloLaplace2D(op, make_mesh(8, ("z", "y")))
+    assert min(h.loc_cells) >= 2
+    fn, masks = h.vmult_distributed()
+    u = jnp.asarray(np.random.default_rng(2).standard_normal(g.shape),
+                    jnp.float32)
+    v = h.distribute(u)
+    rep = collective_overlap_report(fn, v, masks)
+    assert rep["overlappable_fraction"] >= 0.5, rep
+    # and the distributed result still matches the single-device operator
+    got = np.asarray(h.collect(fn(v, masks)))
+    want = np.asarray(op.vmult(u))
+    np.testing.assert_allclose(got, want, rtol=0,
+                               atol=5e-7 * np.abs(want).max())
