@@ -652,6 +652,9 @@ class MultigridSolver:
                 self._jit_of((level, "coarse"), self.smoothers[level].vmult),
                 defect,
             )
+        if (level in self._sp_win
+                and self._constrain is self._constrain_default):
+            return self._v_cycle_timed_windowed(level, defect, n_cyc, timings)
         upd = None
         sm = self.smoothers[level]
         for _ in range(n_cyc):
@@ -687,6 +690,53 @@ class MultigridSolver:
                 upd, defect,
             )
         return upd
+
+    def _v_cycle_timed_windowed(self, level: int, defect: jnp.ndarray,
+                                n_cyc: int, timings) -> jnp.ndarray:
+        """Timed twin of _v_cycle_windowed so the per-level wall-time table
+        measures the solve path actually in use; layout conversions are
+        booked under mg_vec."""
+        opw, smw = self._sp_win[level]
+        d = timings.timed(level, "mg_vec",
+                          self._jit_of((level, "towin"), opw.to_windowed),
+                          defect)
+        upd = None
+        for _ in range(n_cyc):
+            if upd is None:
+                upd = timings.timed(
+                    level, "smoother",
+                    self._jit_of((level, "wsmv"), smw.vmult), d)
+            else:
+                upd = timings.timed(
+                    level, "smoother",
+                    self._jit_of((level, "wsstep"), smw.step), upd, d)
+            t_w = timings.timed(
+                level, "mg_mv",
+                self._jit_of((level, "wresid"), opw.resid_fused), upd, d)
+            t = timings.timed(
+                level, "mg_vec",
+                self._jit_of((level, "fromwin"), opw.from_windowed), t_w)
+            dc = timings.timed(
+                level, "restrict",
+                self._jit_of((level, "restrict"), self.transfers[level].restrict),
+                t,
+            )
+            corr = self.v_cycle_timed(level - 1, dc, 1, timings)
+            pro = timings.timed(
+                level, "prolongate",
+                self._jit_of((level, "prolong"), self.transfers[level].prolongate),
+                corr,
+            )
+            cw = timings.timed(
+                level, "mg_vec",
+                self._jit_of((level, "towin"), opw.to_windowed), pro)
+            upd = upd + cw
+            upd = timings.timed(
+                level, "smoother",
+                self._jit_of((level, "wsstep"), smw.step), upd, d)
+        return timings.timed(
+            level, "mg_vec",
+            self._jit_of((level, "fromwin"), opw.from_windowed), upd)
 
     def matvec_native(self, x: jnp.ndarray) -> jnp.ndarray:
         """Convert an f64 node grid to the finest dp operator's persistent
