@@ -447,7 +447,7 @@ class PallasWindowedSP:
                 blk,                                   # b
                 blk,                                   # x_old
                 pl.BlockSpec((1, 2), lambda zi, yj: (_I0, _I0),
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((3, p, rows),
                              lambda zi, yj: (_I0, zi, yj),
                              memory_space=pltpu.VMEM),
