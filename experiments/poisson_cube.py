@@ -80,7 +80,7 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
               n_post: int, n_fmg_repeat: int = 3, n_cg_repeat: int = 3,
               n_matvec: int = 50, verbose: bool = True,
               n_devices: int = 0, dp_impl: str = "auto",
-              sp_impl: str = "auto") -> dict:
+              sp_impl: str = "auto", output_dir: str = "") -> dict:
     """One row of the reference convergence table
     (/root/reference/poisson_cube/program.cc:255-401)."""
     import jax
@@ -122,6 +122,14 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     _phase("analyze done")
     row["reduction"] = reduction
     row["fmg_L2error"] = solver.l2_error(solver.maxlevel, sol)
+    if output_dir:
+        # solution dump (reference output_results, program.cc:325-341;
+        # same ~1e5-dof size guard)
+        from multigrid_tpu.utils.vtk import write_solution
+
+        path = f"{output_dir}/solution_{grid.n_dofs}.vtr"
+        if write_solution(path, grid, np.asarray(sol), exact_fn):
+            _phase(f"wrote {path}")
     if verbose and grid.n_dofs < 100_000_000:
         # per-level wall-time table for one analyzed V-cycle, the
         # reference's print_wall_times output after each solve
@@ -263,6 +271,9 @@ def main():
     ap.add_argument("--sp-impl", default="auto",
                     help="sp smoother implementation (auto = fused "
                          "windowed Mosaic kernel on TPU)")
+    ap.add_argument("--output", default="",
+                    help="directory for .vtr solution dumps (size-guarded "
+                         "like the reference's output_results)")
     args = ap.parse_args()
 
     if args.deform:
@@ -287,7 +298,7 @@ def main():
         rows.append(run_cycle(mesh, args.degree, args.n_mg_cycles,
                               args.n_pre_smooth, args.n_post_smooth,
                               n_devices=args.devices, dp_impl=args.dp_impl,
-                              sp_impl=args.sp_impl))
+                              sp_impl=args.sp_impl, output_dir=args.output))
         # drop the finished cycle's executables/buffers: accumulated device
         # state from earlier ladder sizes otherwise OOMs the 135M setup
         import gc
