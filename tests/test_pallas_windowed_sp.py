@@ -150,6 +150,19 @@ def test_windowed_vcycle_solver_matches_node_path():
     assert e == pytest.approx(e_ref, rel=1e-3)
 
 
+def test_non_p4_degree_falls_back_cleanly():
+    """sp_impl=pallas_windowed on a degree != 4 problem must install no
+    windowed levels and still solve with transcript-grade behavior."""
+    from experiments.poisson_cube import build_solver
+    from multigrid_tpu.mesh.brick import poisson_cube_mesh
+
+    s = build_solver(poisson_cube_mesh(6), 2, sp_impl="pallas_windowed",
+                     dp_impl="ozaki")
+    assert not s._sp_win
+    sol, its, red = s.solve_cg()
+    assert its <= 9 and red < 0.12
+
+
 def test_windowed_disables_under_distributed():
     """DistributedMultigrid replaces the sharding hook; the windowed sp
     path (single-device layout) must silently step aside and the
