@@ -171,6 +171,7 @@ class Transfer:
                 + jnp.pad(tail, ((1, 0), (0, 0), (0, 0))))
 
     # --------------------------------------------------------- df64 flavor
+    # (see class MatmulTransfer below for the MXU banded-matmul flavor)
     # fp64 transfers on TPU must avoid the native-f64 einsum (XLA emulation
     # is ~100x slower: 540 ms vs 8 ms at 17M dofs); the P sweeps run as
     # compensated f32-pair contractions instead.  The touch-count weights
@@ -206,3 +207,67 @@ class Transfer:
         if self.constrained:
             uc = jnp.where(self.coarse_interior, uc, 0)
         return uc
+
+
+class MatmulTransfer(Transfer):
+    """Per-axis dense banded transfer matrices on the MXU.
+
+    The tensorized transfer is separable: prolongation = (M_z (x) M_y (x)
+    M_x) u_c with M_d = W_d S_d, where S_d block-sums the 1-D two-child
+    embedding P over coarse cells and W_d holds the touch-count weights —
+    so each axis is ONE banded [fine_d, coarse_d] matmul, and restriction
+    contracts the transposes.  This replaces the gather-window/sweep/
+    scatter pipeline (whose cross-lane window relayouts are the measured
+    glue wall of the XLA paths at scale) with three MXU GEMMs; enabled in
+    the solver via MGT_MATMUL_TRANSFER=1 pending hardware A/B.  Same
+    deal.II ``MGTransferMatrixFree`` semantics as the base class.
+    """
+
+    def __init__(self, fine: DofGrid, coarse: DofGrid, dtype=jnp.float32,
+                 constrained: bool = True):
+        super().__init__(fine, coarse, dtype, constrained)
+        assert not self._df64, "matmul transfer is the sp V-cycle flavor"
+        import numpy as _np
+
+        b = fine.basis
+        p = fine.degree
+        self._M = []
+        for d in range(fine.dim):
+            ncc = coarse.cells[d]
+            Xf, Xc = 2 * p * ncc + 1, p * ncc + 1
+            S = _np.zeros((Xf, Xc))
+            for c in range(ncc):
+                S[2 * p * c: 2 * p * c + 2 * p + 1,
+                  p * c: p * c + p + 1] += _np.asarray(b.P, _np.float64)
+            w = _np.ones(Xf)
+            if ncc > 1:
+                w[2 * p: -1: 2 * p] = 0.5
+            self._M.append(jnp.asarray(w[:, None] * S, dtype))
+
+    def _axis_mm(self, u, d: int, restrict: bool):
+        import jax
+
+        M = self._M[d]
+        out = jnp.tensordot(u, M, axes=[[d], [0 if restrict else 1]],
+                            precision=jax.lax.Precision.HIGHEST)
+        return jnp.moveaxis(out, -1, d)
+
+    def prolongate(self, u_coarse: jnp.ndarray) -> jnp.ndarray:
+        u = u_coarse
+        if self.constrained:
+            u = jnp.where(self.coarse_interior, u, 0)
+        for d in range(self.fine.dim):
+            u = self._axis_mm(u, d, restrict=False)
+        if self.constrained:
+            u = jnp.where(self.fine_interior, u, 0)
+        return u
+
+    def restrict(self, u_fine: jnp.ndarray) -> jnp.ndarray:
+        u = u_fine
+        if self.constrained:
+            u = jnp.where(self.fine_interior, u, 0)
+        for d in range(self.fine.dim):
+            u = self._axis_mm(u, d, restrict=True)
+        if self.constrained:
+            u = jnp.where(self.coarse_interior, u, 0)
+        return u

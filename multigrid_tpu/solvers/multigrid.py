@@ -182,8 +182,14 @@ class MultigridSolver:
             self.dp_ops = self.ops_dp
         _tick("operators")
         # constrained transfer (V-cycle, sp) and unconstrained (solution, dp)
+        # MGT_MATMUL_TRANSFER=1 swaps in the per-axis banded-MXU-matmul
+        # flavor (ops/transfer.MatmulTransfer) for hardware A/B
+        _TransferCls = Transfer
+        if _os.environ.get("MGT_MATMUL_TRANSFER") and v_dtype == jnp.float32:
+            from ..ops.transfer import MatmulTransfer as _TransferCls
         self.transfers = [None] + [
-            Transfer(self.grids[l], self.grids[l - 1], v_dtype, constrained=True)
+            _TransferCls(self.grids[l], self.grids[l - 1], v_dtype,
+                         constrained=True)
             for l in range(1, L)
         ]
         self.transfers_nobc = [None] + [

@@ -65,3 +65,32 @@ def test_chunked_transfer_matches_unchunked(coarse_cells):
                                    rtol=0, atol=2e-6)
         np.testing.assert_allclose(np.asarray(tr.restrict(uf)), ref_r,
                                    rtol=0, atol=2e-6)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("constrained", [False, True])
+def test_matmul_transfer_matches_windowed(dim, constrained):
+    """The per-axis banded-MXU-matmul flavor must reproduce the
+    gather/sweep/scatter transfer (f32 reassociation tolerance) and stay
+    an exact adjoint pair."""
+    from multigrid_tpu.ops.transfer import MatmulTransfer
+
+    cells = (2, 3, 2)[:dim]
+    mesh = BrickMesh(coarse_cells=cells, origin=(0.0,) * dim,
+                     lengths=(1.0,) * dim, n_levels=2)
+    coarse = DofGrid(mesh, 0, 4)
+    fine = DofGrid(mesh, 1, 4)
+    rng = np.random.default_rng(11)
+    uc = jnp.asarray(rng.normal(size=coarse.shape), jnp.float32)
+    uf = jnp.asarray(rng.normal(size=fine.shape), jnp.float32)
+    ref = Transfer(fine, coarse, jnp.float32, constrained=constrained)
+    mm = MatmulTransfer(fine, coarse, jnp.float32, constrained=constrained)
+    want_p = np.asarray(ref.prolongate(uc))
+    want_r = np.asarray(ref.restrict(uf))
+    np.testing.assert_allclose(np.asarray(mm.prolongate(uc)), want_p,
+                               rtol=0, atol=3e-6 * np.abs(want_p).max())
+    np.testing.assert_allclose(np.asarray(mm.restrict(uf)), want_r,
+                               rtol=0, atol=3e-6 * np.abs(want_r).max())
+    lhs = np.vdot(np.asarray(mm.prolongate(uc), np.float64), np.asarray(uf))
+    rhs = np.vdot(np.asarray(uc), np.asarray(mm.restrict(uf), np.float64))
+    assert lhs == pytest.approx(rhs, rel=1e-5)
