@@ -32,3 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+try:
+    # jit executables only: cached XLA:CPU AOT kernels pin exact host
+    # features and warn/SIGILL when reloaded under a different feature
+    # detection (the cpu_aot_loader noise in test logs)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+except Exception:
+    pass
