@@ -41,6 +41,8 @@ BENCH_METRIC=matvec BENCH_DP_IMPL=ozaki_chunked BENCH_SP_IMPL=dense_chunked \
 MGT_DP_NODE_VIA_WIN=1 phase bench_dpwin 2400 python bench.py
 MGT_SP_WIN_CX64=1 phase bench_cx64 2400 python bench.py
 MGT_MATMUL_TRANSFER=1 phase bench_mmt 2400 python bench.py
+MGT_SP_WIN_ANY_CX=1 MGT_MATMUL_TRANSFER=1 MGT_DP_NODE_VIA_WIN=1 \
+    phase bench_all_knobs 2400 python bench.py
 
 # 4. shell ladder to >=10M dofs (mixed + the pure-double/fourth-kind
 #    reference specialization)

@@ -93,11 +93,12 @@ class PallasWindowedSP:
         self.G = self.n * self.cx
         self.interpret = interpret
         if not interpret:
-            # 128 = native lane tile; 64 (G = 320 lanes = 2.5 tiles) is
-            # structurally supported but relies on Mosaic's padded-tile
-            # relayouts — gate via MGT_SP_WIN_CX64 until measured on
-            # hardware (solvers/multigrid.py does the gating)
-            assert self.cx % 64 == 0, "lane tiling needs cx % 64 == 0"
+            # 128 = native lane tile; smaller cx (G = 5*cx lanes, padded
+            # tiles) is structurally supported but relies on Mosaic's
+            # relayouts — the solver gates engagement via MGT_SP_WIN_CX64
+            # / MGT_SP_WIN_ANY_CX until measured per size on hardware
+            # (ladder rows run cx = 40..112)
+            assert self.cx % 8 == 0, "lane tiling needs cx % 8 == 0"
         self.cy_b = min(cy_chunk, self.cy)
         while self.cy % self.cy_b:
             self.cy_b -= 1

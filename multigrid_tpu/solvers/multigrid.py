@@ -294,10 +294,12 @@ class MultigridSolver:
                                                   windowed_inv_diag_factory)
 
             interpret = jax.default_backend() != "tpu"
-            # MGT_SP_WIN_CX64=1 extends the kernel to cx % 64 == 0 levels
-            # (one more V-cycle level windowed; Mosaic padded-tile lanes —
-            # measure before making it the default)
-            cxq = 64 if _os.environ.get("MGT_SP_WIN_CX64") else 128
+            # MGT_SP_WIN_CX64=1 extends the kernel to cx % 64 == 0 levels;
+            # MGT_SP_WIN_ANY_CX=1 to every cx % 8 == 0 level (ladder rows
+            # run cx = 40..112).  Mosaic padded-tile lanes — measure
+            # before making either the default.
+            cxq = (8 if _os.environ.get("MGT_SP_WIN_ANY_CX")
+                   else 64 if _os.environ.get("MGT_SP_WIN_CX64") else 128)
             for l in range(self.minlevel + 1, L):
                 g = self.grids[l]
                 if not (g.dim == 3 and g.degree == 4
