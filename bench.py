@@ -98,6 +98,7 @@ def main():
         "BENCH_SIZES", "128 112 96 80 64").split()]
     metric = os.environ.get("BENCH_METRIC", "fmg")
     result = None
+    path = "fused"
     for size in sizes:
         try:
             result = bench_fmg(size)
@@ -111,6 +112,9 @@ def main():
                 jax.clear_caches()
                 result = bench_fmg(size, dp_impl="ozaki_chunked",
                                    sp_impl="dense_chunked")
+                path = "xla_fallback"   # marked in the JSON line so a
+                #                         broken kernel path can't hide
+                #                         behind a plausible number
                 break
             except Exception as e2:
                 print(f"# size {size} (xla fallback) failed: {e2!r}",
@@ -127,6 +131,7 @@ def main():
             "unit": "DoFs/s",
             "vs_baseline": (result["dofs"] / result["mv_seconds"])
                            / REF_MV_DOFS_PER_S,
+            "path": path,
         }))
         return
     ref = REF_FMG_SECONDS.get(result["size"])
@@ -136,6 +141,7 @@ def main():
         "value": result["dofs"] / result["fmg_seconds"],
         "unit": "DoFs/s",
         "vs_baseline": vs,
+        "path": path,
     }))
 
 

@@ -125,8 +125,11 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     if output_dir:
         # solution dump (reference output_results, program.cc:325-341;
         # same ~1e5-dof size guard)
+        import os
+
         from multigrid_tpu.utils.vtk import write_solution
 
+        os.makedirs(output_dir, exist_ok=True)
         path = f"{output_dir}/solution_{grid.n_dofs}.vtr"
         if write_solution(path, grid, np.asarray(sol), exact_fn):
             _phase(f"wrote {path}")

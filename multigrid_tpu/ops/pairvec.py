@@ -108,33 +108,15 @@ def pair_xpby(x: jnp.ndarray, y: jnp.ndarray, beta) -> jnp.ndarray:
 
 def pair_from_f32(op, z: jnp.ndarray) -> jnp.ndarray:
     """f32 node grid -> windowed pair with zero lo plane (preconditioner
-    output injection; ``op`` is a PallasWindowedOzaki for geometry).  On
-    hardware the relayout rides the MXU (exact 0/1 permutation matmul)."""
-    Z, Y, X = op.Z, op.Y, op.X
-    p, cx, G, Yp = op.p, op.cx, op.G, op.Yp
-    if not op.interpret:
-        from .pallas_windowed_sp import perm_mm
-
-        w = perm_mm(z, op._perm()[0])
-    else:
-        m = z[..., : X - 1].reshape(Z, Y, cx, p)
-        t = z[..., 1:].reshape(Z, Y, cx, p)[..., p - 1:]
-        w = jnp.concatenate([m, t], axis=3).transpose(
-            0, 1, 3, 2).reshape(Z, Y, G)
-    w = jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
+    output injection; ``op`` is a PallasWindowedOzaki for geometry).  The
+    lane relayout delegates to the shared XWindowMap (MXU permutation
+    matmul on hardware)."""
+    w = op.xmap.win(z, op.interpret)
+    w = jnp.pad(w, ((0, 0), (0, op.Yp - op.Y), (0, 0)))
     return jnp.stack([w, jnp.zeros_like(w)], axis=1)
 
 
 def pair_hi_node(op, a: jnp.ndarray) -> jnp.ndarray:
     """Windowed pair -> f32 node grid of the hi plane (preconditioner
     input extraction)."""
-    Z, Y = op.Z, op.Y
-    p, n, cx = op.p, op.n, op.cx
-    if not op.interpret:
-        from .pallas_windowed_sp import perm_mm
-
-        return perm_mm(a[:, 0, :Y], op._perm()[1])
-    v = a[:, 0, :Y].reshape(Z, Y, n, cx)
-    main = v[:, :, :p].transpose(0, 1, 3, 2).reshape(Z, Y, cx * p)
-    last = v[:, :, p, cx - 1: cx]
-    return jnp.concatenate([main, last], axis=-1)
+    return op.xmap.unwin(a[:, 0, : op.Y], op.interpret)

@@ -98,60 +98,36 @@ class PallasWindowedOzaki:
         return bcast_and(self._interior_axes)
 
     # -------------------------------------------------- layout conversions
-    def _perm(self):
-        if getattr(self, "_Pwin", None) is None:
-            from .pallas_windowed_sp import window_perm_matrices
+    @property
+    def xmap(self):
+        """Shared node<->x-window lane relayout (the single owner of the
+        lane map; MXU permutation matmuls on hardware, reshapes in
+        interpret — ops/pallas_windowed_sp.XWindowMap)."""
+        if getattr(self, "_xmap", None) is None:
+            from .pallas_windowed_sp import XWindowMap
 
-            self._Pwin, self._Punw = window_perm_matrices(
-                self.p, self.cx, self.X, self.G)
-        return self._Pwin, self._Punw
+            self._xmap = XWindowMap(self.p, self.cx, self.X, self.G)
+        return self._xmap
 
     def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
         """f64 node grid [Z, Y, X] -> windowed pair [Z, 2, Yp, G]
-        (boundary values preserved; solver-boundary use).  On hardware the
-        lane relayout rides the MXU as an exact 0/1 permutation matmul
-        (pallas_windowed_sp.perm_mm); interpret/CPU keeps reshapes."""
-        Z, Y, X = self.Z, self.Y, self.X
-        p, n, cx, G, Yp = self.p, self.n, self.cx, self.G, self.Yp
+        (boundary values preserved; solver-boundary use)."""
+        Y, Yp = self.Y, self.Yp
         xh, xl = split_f64(x)
+        xm = self.xmap
 
-        if not self.interpret:
-            from .pallas_windowed_sp import perm_mm
-
-            Pw = self._perm()[0]
-
-            def win(a):
-                return jnp.pad(perm_mm(a, Pw), ((0, 0), (0, Yp - Y), (0, 0)))
-        else:
-            def win(a):
-                m = a[..., : X - 1].reshape(Z, Y, cx, p)
-                t = a[..., 1:].reshape(Z, Y, cx, p)[..., p - 1 :]
-                w = jnp.concatenate([m, t], axis=3)    # [Z, Y, cx, n]
-                w = w.transpose(0, 1, 3, 2).reshape(Z, Y, G)
-                return jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
+        def win(a):
+            return jnp.pad(xm.win(a, self.interpret),
+                           ((0, 0), (0, Yp - Y), (0, 0)))
 
         return jnp.stack([win(xh), win(xl)], axis=1)
 
     def from_windowed(self, w: jnp.ndarray) -> jnp.ndarray:
         """Windowed pair [Z, 2, Yp, G] -> f64 node grid [Z, Y, X]."""
-        Z, Y, X = self.Z, self.Y, self.X
-        p, n, cx, G = self.p, self.n, self.cx, self.G
-
-        if not self.interpret:
-            from .pallas_windowed_sp import perm_mm
-
-            Pu = self._perm()[1]
-
-            def unwin(a):
-                return perm_mm(a, Pu)
-        else:
-            def unwin(a):                               # [Z, Y, G] -> [Z,Y,X]
-                v = a.reshape(Z, Y, n, cx)
-                main = v[:, :, :p].transpose(0, 1, 3, 2).reshape(Z, Y, cx * p)
-                last = v[:, :, p, cx - 1 : cx]
-                return jnp.concatenate([main, last], axis=-1)
-
-        return join_f64(unwin(w[:, 0, : Y]), unwin(w[:, 1, : Y]))
+        Y = self.Y
+        xm = self.xmap
+        return join_f64(xm.unwin(w[:, 0, :Y], self.interpret),
+                        xm.unwin(w[:, 1, :Y], self.interpret))
 
     def dup_weights(self) -> jnp.ndarray:
         """[G] weights for inner products on windowed vectors: j=p slots are

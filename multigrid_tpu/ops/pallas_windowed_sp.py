@@ -79,6 +79,46 @@ def perm_mm(a: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+class XWindowMap:
+    """The node<->x-window lane relayout for one (p, cx) geometry — the
+    SINGLE owner of the lane map ``w[..., j*cx + i] = u[..., p*i + j]``
+    used by the sp kernel, the dp pair kernel, and the pair vector ops.
+    On hardware the relayout rides the MXU (perm_mm); interpret/CPU keeps
+    reshapes (bit-identical, pinned in tests)."""
+
+    def __init__(self, p: int, cx: int, X: int, G: int):
+        self.p, self.cx, self.X, self.G = p, cx, X, G
+        self._Pw = self._Pu = None
+
+    def _mats(self):
+        if self._Pw is None:
+            self._Pw, self._Pu = window_perm_matrices(
+                self.p, self.cx, self.X, self.G)
+        return self._Pw, self._Pu
+
+    def win(self, a: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+        """f32 [..., X] -> [..., G] (no y/z padding)."""
+        p, cx, X, G = self.p, self.cx, self.X, self.G
+        if not interpret:
+            return perm_mm(a, self._mats()[0])
+        lead = a.shape[:-1]
+        m = a[..., : X - 1].reshape(lead + (cx, p))
+        t = a[..., 1:].reshape(lead + (cx, p))[..., p - 1:]
+        w = jnp.concatenate([m, t], axis=-1)           # [..., cx, n]
+        return jnp.swapaxes(w, -1, -2).reshape(lead + (G,))
+
+    def unwin(self, a: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+        """f32 [..., G] -> [..., X]."""
+        p, cx, X = self.p, self.cx, self.X
+        if not interpret:
+            return perm_mm(a, self._mats()[1])
+        lead = a.shape[:-1]
+        v = a.reshape(lead + (p + 1, cx))
+        main = jnp.swapaxes(v[..., :p, :], -1, -2).reshape(lead + (cx * p,))
+        last = v[..., p, cx - 1: cx]
+        return jnp.concatenate([main, last], axis=-1)
+
+
 class PallasWindowedSP:
     """sp A·u on windowed f32 vectors; p=4 3-D structured bricks."""
 
@@ -116,6 +156,7 @@ class PallasWindowedSP:
         self._interior_axes = interior_axes_jnp(grid)
         self._zy = None                                # install_diag_factors
         self._fx = None
+        self.xmap = XWindowMap(self.p, self.cx, self.X, self.G)
 
     @property
     def interior(self):
@@ -132,41 +173,14 @@ class PallasWindowedSP:
             out[j * cx:(j + 1) * cx] = f[idx]
         return out
 
-    def _perm_matrices(self):
-        """0/1 window permutation matrices for the MXU relayout path
-        (lazy; bf16 — exact, since every output lane receives exactly ONE
-        product and 0/1 times a bf16 limb is exact)."""
-        if getattr(self, "_Pwin", None) is None:
-            self._Pwin, self._Punw = window_perm_matrices(
-                self.p, self.cx, self.X, self.G)
-        return self._Pwin, self._Punw
-
-    _perm_mm = staticmethod(lambda a, P: perm_mm(a, P))
-
     def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
         """f32 node grid [Z, Y, X] -> windowed [Z, Yp, G]."""
-        Z, Y, X = self.Z, self.Y, self.X
-        p, cx, G, Yp = self.p, self.cx, self.G, self.Yp
-        a = x.astype(jnp.float32)
-        if not self.interpret:
-            w = self._perm_mm(a, self._perm_matrices()[0])
-            return jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
-        m = a[..., : X - 1].reshape(Z, Y, cx, p)
-        t = a[..., 1:].reshape(Z, Y, cx, p)[..., p - 1:]
-        w = jnp.concatenate([m, t], axis=3)            # [Z, Y, cx, n]
-        w = w.transpose(0, 1, 3, 2).reshape(Z, Y, G)
-        return jnp.pad(w, ((0, 0), (0, Yp - Y), (0, 0)))
+        w = self.xmap.win(x.astype(jnp.float32), self.interpret)
+        return jnp.pad(w, ((0, 0), (0, self.Yp - self.Y), (0, 0)))
 
     def from_windowed(self, w: jnp.ndarray) -> jnp.ndarray:
         """Windowed [Z, Yp, G] -> f32 node grid [Z, Y, X]."""
-        Z, Y, X = self.Z, self.Y, self.X
-        p, n, cx = self.p, self.n, self.cx
-        if not self.interpret:
-            return self._perm_mm(w[:, :Y], self._perm_matrices()[1])
-        v = w[:, :Y].reshape(Z, Y, n, cx)
-        main = v[:, :, :p].transpose(0, 1, 3, 2).reshape(Z, Y, cx * p)
-        last = v[:, :, p, cx - 1: cx]
-        return jnp.concatenate([main, last], axis=-1)
+        return self.xmap.unwin(w[:, : self.Y], self.interpret)
 
     def dup_weights(self) -> jnp.ndarray:
         """[G] weights zeroing duplicated x-window slots in inner products."""
@@ -307,19 +321,23 @@ class PallasWindowedSP:
         y = self._matvec_planes(x_hbm, kst_ref, slab, carry, zcarry, sem)
         out_ref[0, :, 0] = b_ref[...] - y
 
-    def _fused(self, xw):
-        n, G, cy_b = self.n, self.G, self.cy_b
-        p = self.p
+    def _call(self, kernel, xw, extra_operands=(), extra_specs=(),
+              n_streams=2):
+        """Shared pallas_call scaffolding for all epilogue variants: same
+        grid, output/scratch shapes, VMEM limit and cost model; only the
+        kernel body and its extra blocked inputs differ (a divergence here
+        would be a hardware-only bug interpret tests can't catch)."""
+        p, G, cy_b = self.p, self.G, self.cy_b
         cz, nyc = self.cz, self.nyc
         rows = cy_b * p
-        out_shape = jax.ShapeDtypeStruct((cz, p, nyc, rows, G), jnp.float32)
-        flops = 2 * sum((m + 1) for m in range(_MAX_M_SP + 1)) * self.N**2 \
-            * self.cy * self.cx * cz
+        flops = (2 * sum((m + 1) for m in range(_MAX_M_SP + 1)) * self.N**2
+                 * self.cy * self.cx * cz)
         return pl.pallas_call(
-            self._kernel,
+            kernel,
             grid=(cz, nyc),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
+                *extra_specs,
                 pl.BlockSpec((self.off[-1], self.N),
                              lambda zi, yj: (_I0, _I0),
                              memory_space=pltpu.VMEM),
@@ -328,22 +346,29 @@ class PallasWindowedSP:
                 (1, p, 1, rows, G),
                 lambda zi, yj: (zi, _I0, yj, _I0, _I0),
                 memory_space=pltpu.VMEM),
-            out_shape=out_shape,
+            out_shape=jax.ShapeDtypeStruct((cz, p, nyc, rows, G),
+                                           jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((n, self.Yp, G), jnp.float32),
-                pltpu.VMEM((n, n, self.cx), jnp.float32),
+                pltpu.VMEM((self.n, self.Yp, G), jnp.float32),
+                pltpu.VMEM((self.n, self.n, self.cx), jnp.float32),
                 pltpu.VMEM((self.cy * p, G), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             cost_estimate=pl.CostEstimate(
                 flops=flops,
-                bytes_accessed=xw.size * 4 + cz * p * nyc * rows * G * 4,
+                bytes_accessed=n_streams * xw.size * 4,
                 transcendentals=0,
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=self.interpret,
-        )(xw, self.Kstack)
+        )(xw, *extra_operands, self.Kstack)
+
+    def _blk_spec(self):
+        """BlockSpec of one output-shaped windowed input block."""
+        return pl.BlockSpec((self.p, self.cy_b * self.p, self.G),
+                            lambda zi, yj: (zi, yj, _I0),
+                            memory_space=pltpu.VMEM)
 
     def _finish(self, o):
         """[cz, p, nyc, rows, G] kernel output -> padded [Z, Yp, G]."""
@@ -358,50 +383,14 @@ class PallasWindowedSP:
         # barriers pin the kernel operand/result as standalone values (the
         # dp kernel's measured fusion miscompile; see ops/pallas_windowed)
         xw = jax.lax.optimization_barrier(xw)
-        return self._finish(self._fused(xw))
+        return self._finish(self._call(self._kernel, xw))
 
     def resid_fused(self, xw: jnp.ndarray, bw: jnp.ndarray) -> jnp.ndarray:
         """b - A x on windowed vectors, one kernel pass (the V-cycle's
         pre-restrict residual; saves the separate subtract stream)."""
-        p, G, cy_b = self.p, self.G, self.cy_b
-        cz, nyc = self.cz, self.nyc
-        rows = cy_b * p
         xw, bw = jax.lax.optimization_barrier((xw, bw))
-        out_shape = jax.ShapeDtypeStruct((cz, p, nyc, rows, G), jnp.float32)
-        flops = (2 * sum((m + 1) for m in range(_MAX_M_SP + 1)) * self.N**2
-                 * self.cy * self.cx * cz)
-        o = pl.pallas_call(
-            self._kernel_resid,
-            grid=(cz, nyc),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((p, rows, G),
-                             lambda zi, yj: (zi, yj, _I0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.off[-1], self.N),
-                             lambda zi, yj: (_I0, _I0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, p, 1, rows, G),
-                lambda zi, yj: (zi, _I0, yj, _I0, _I0),
-                memory_space=pltpu.VMEM),
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((self.n, self.Yp, G), jnp.float32),
-                pltpu.VMEM((self.n, self.n, self.cx), jnp.float32),
-                pltpu.VMEM((self.cy * p, G), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=flops,
-                bytes_accessed=3 * xw.size * 4,
-                transcendentals=0,
-            ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-            interpret=self.interpret,
-        )(xw, bw, self.Kstack)
+        o = self._call(self._kernel_resid, xw, (bw,), (self._blk_spec(),),
+                       n_streams=3)
         return self._finish(o)
 
     # --------------------------------------------- fused Chebyshev update
@@ -428,23 +417,16 @@ class PallasWindowedSP:
         pass (f1/f2 are traced scalars, streamed via a tiny VMEM block, so
         the whole recurrence reuses ONE compiled kernel)."""
         assert self._zy is not None, "install_diag_factors first"
-        p, G, cy_b = self.p, self.G, self.cy_b
-        cz, nyc = self.cz, self.nyc
-        rows = cy_b * p
+        p, G = self.p, self.G
+        rows = self.cy_b * p
         f12 = jnp.stack([jnp.asarray(f1, jnp.float32),
                          jnp.asarray(f2, jnp.float32)]).reshape(1, 2)
         xw, xw_old, bw = jax.lax.optimization_barrier((xw, xw_old, bw))
-        out_shape = jax.ShapeDtypeStruct((cz, p, nyc, rows, G), jnp.float32)
-        flops = (2 * sum((m + 1) for m in range(_MAX_M_SP + 1)) * self.N**2
-                 * self.cy * self.cx * cz)
-        blk = pl.BlockSpec((p, rows, G),
-                           lambda zi, yj: (zi, yj, _I0),
-                           memory_space=pltpu.VMEM)
-        o = pl.pallas_call(
-            self._kernel_cheb,
-            grid=(cz, nyc),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
+        blk = self._blk_spec()
+        o = self._call(
+            self._kernel_cheb, xw,
+            extra_operands=(bw, xw_old, f12, self._zy, self._fx),
+            extra_specs=(
                 blk,                                   # b
                 blk,                                   # x_old
                 pl.BlockSpec((1, 2), lambda zi, yj: (_I0, _I0),
@@ -454,30 +436,8 @@ class PallasWindowedSP:
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, G), lambda zi, yj: (_I0, _I0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.off[-1], self.N),
-                             lambda zi, yj: (_I0, _I0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, p, 1, rows, G),
-                lambda zi, yj: (zi, _I0, yj, _I0, _I0),
-                memory_space=pltpu.VMEM),
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((self.n, self.Yp, G), jnp.float32),
-                pltpu.VMEM((self.n, self.n, self.cx), jnp.float32),
-                pltpu.VMEM((self.cy * p, G), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=flops,
-                bytes_accessed=4 * xw.size * 4,
-                transcendentals=0,
             ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-            interpret=self.interpret,
-        )(xw, bw, xw_old, f12, self._zy, self._fx, self.Kstack)
+            n_streams=4)
         return self._finish(o)
 
     # ------------------------------------------------- node-grid interface

@@ -200,16 +200,20 @@ class MultigridSolverDGPlain(_DGOuterCG):
         L = mesh.n_levels
         self.grids = [_dg_grid_from_mesh(mesh, l, degree, kind) for l in range(L)]
 
+        c_cache = {}
+
         def make_op(level, dtype):
             g = self.grids[level]
             if coeff_fn is None:
                 return DGLaplace(g, dtype)
             from ..ops.dg import DGLaplaceVarCoeff
 
-            quads = _quad_coords_block(g, mesh, level)
-            c = np.broadcast_to(
-                np.asarray(coeff_fn(quads), np.float64), g.shape)
-            return DGLaplaceVarCoeff(g, c, dtype)
+            if level not in c_cache:   # fp64 once per level; the finest
+                #                        level feeds both v/f dtype ops
+                quads = _quad_coords_block(g, mesh, level)
+                c_cache[level] = np.broadcast_to(
+                    np.asarray(coeff_fn(quads), np.float64), g.shape)
+            return DGLaplaceVarCoeff(g, c_cache[level], dtype)
 
         self.ops = [make_op(l, v_dtype) for l in range(L)]
         self.op_dp = make_op(L - 1, f_dtype)

@@ -66,11 +66,10 @@ def test_perm_matmul_conversions_match_reshape():
     x = jnp.asarray(np.random.default_rng(9).standard_normal(grid.shape),
                     jnp.float32)
     w_ref = op.to_windowed(x)                  # reshape path (interpret)
-    Pw, Pu = op._perm_matrices()
-    w_mm = jnp.pad(op._perm_mm(x, Pw),
+    w_mm = jnp.pad(op.xmap.win(x, interpret=False),
                    ((0, 0), (0, op.Yp - op.Y), (0, 0)))
     np.testing.assert_array_equal(np.asarray(w_mm), np.asarray(w_ref))
-    back_mm = op._perm_mm(w_ref[:, :op.Y], Pu)
+    back_mm = op.xmap.unwin(w_ref[:, :op.Y], interpret=False)
     np.testing.assert_array_equal(np.asarray(back_mm),
                                   np.asarray(op.from_windowed(w_ref)))
 
