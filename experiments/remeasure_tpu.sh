@@ -45,8 +45,10 @@ MGT_SP_WIN_ANY_CX=1 MGT_MATMUL_TRANSFER=1 MGT_DP_NODE_VIA_WIN=1 \
     phase bench_all_knobs 2400 python bench.py
 
 # 4. shell ladder to >=10M dofs (mixed + the pure-double/fourth-kind
-#    reference specialization)
-phase shell 5400 python experiments/poisson_shell.py 4 12000000 1 3 3
-phase shell_pd 5400 python experiments/poisson_shell.py 4 12000000 1 3 3 --pure-double
+#    reference specialization); 11 cycles reach the 6-level 6-block shell
+#    (~12.6M dofs; 5 levels = 1.6M measured) — the default 8 stop at ~200k
+phase shell 9000 python experiments/poisson_shell.py 4 13000000 1 3 3 --cycles 11
+phase shell_pd 9000 python experiments/poisson_shell.py 4 13000000 1 3 3 \
+    --cycles 11 --pure-double
 
 echo "sweep complete; logs in $OUT"
