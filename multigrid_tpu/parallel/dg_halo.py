@@ -74,3 +74,66 @@ class HaloDGLaplace:
             shard_map(body, mesh=self.mesh, in_specs=P(self.axis),
                       out_specs=P(self.axis))
         )
+
+
+class HaloDGLaplace2D:
+    """('z','y')-decomposed fused SIP-DG operator: two independent
+    trace exchanges, one per decomposed cell axis.  DG couples through
+    faces only — no corner payload exists, so unlike the CG halo's
+    ordered corner routing (parallel/halo.HaloLaplace2D) the two axis
+    exchanges commute and both collectives depend only on their own
+    boundary-layer sweeps (cell-local in boundary_traces): the bulk
+    apply overlaps both under XLA's scheduler."""
+
+    def __init__(self, op: DGLaplace, mesh: Mesh,
+                 axes: tuple[str, str] = ("z", "y")):
+        self.op = op
+        self.mesh = mesh
+        self.axes = axes
+        self.nd = tuple(mesh.shape[a] for a in axes)
+        for d in range(2):
+            assert op.grid.cells[d] % self.nd[d] == 0
+
+    def distribute(self, u: jnp.ndarray) -> jnp.ndarray:
+        return jax.device_put(
+            u, NamedSharding(self.mesh, P(self.axes[0], self.axes[1])))
+
+    def vmult_distributed(self):
+        op = self.op
+        az, ay = self.axes
+        ndz, ndy = self.nd
+        perms = {
+            az: ([(i, (i + 1) % ndz) for i in range(ndz)],
+                 [(i, (i - 1) % ndz) for i in range(ndz)]),
+            ay: ([(i, (i + 1) % ndy) for i in range(ndy)],
+                 [(i, (i - 1) % ndy) for i in range(ndy)]),
+        }
+
+        def body(x):
+            ext = {}
+            for d, (axis, nd) in enumerate(((az, ndz), (ay, ndy))):
+                dev = jax.lax.axis_index(axis)
+                fwd, bwd = perms[axis]
+                traces = op.boundary_traces(x, d=d)
+                # my low-face traces go to the left neighbor (bwd), so I
+                # receive my right neighbor's low face = my side-1 ghost
+                from_right = jax.tree.map(
+                    lambda t: jax.lax.ppermute(t, axis, bwd), traces[0])
+                from_left = jax.tree.map(
+                    lambda t: jax.lax.ppermute(t, axis, fwd), traces[1])
+                is_last = dev == nd - 1
+                is_first = dev == 0
+                ext[(d, 1)] = (
+                    jnp.where(is_last, -traces[1][0], from_right[0]),
+                    jnp.where(is_last, traces[1][1], from_right[1]),
+                )
+                ext[(d, 0)] = (
+                    jnp.where(is_first, -traces[0][0], from_left[0]),
+                    jnp.where(is_first, traces[0][1], from_left[1]),
+                )
+            return op.apply(x, ext=ext)
+
+        return jax.jit(
+            shard_map(body, mesh=self.mesh, in_specs=P(az, ay),
+                      out_specs=P(az, ay))
+        )

@@ -74,6 +74,27 @@ def test_perm_matmul_conversions_match_reshape():
                                   np.asarray(op.from_windowed(w_ref)))
 
 
+def test_cheb_fused_output_dup_consistency():
+    """cheb_fused output must keep duplicate x-window slots consistent
+    (it feeds the next kernel pass, which reads the j=p block)."""
+    from multigrid_tpu.ops.pallas_windowed_sp import FusedChebyshev
+
+    grid = make_grid((2, 4, 4))
+    op = PallasWindowedSP(grid, cy_chunk=2, interpret=True)
+    lap = LaplaceOperator(grid, jnp.float32, make_diag_coef(grid))
+    op.install_diag_factors(lap)
+    inv = windowed_inv_diag_factory(op, lap)
+    fus = FusedChebyshev(op, inv, 1.7, 1.3, 3, 1.0, 0.1)
+    rng = np.random.default_rng(12)
+    b = op.to_windowed(jnp.where(
+        op.interior, jnp.asarray(rng.standard_normal(grid.shape),
+                                 jnp.float32), 0))
+    yw = np.asarray(fus.vmult(b))
+    cx, p = op.cx, op.p
+    np.testing.assert_allclose(yw[:, :, p * cx: p * cx + cx - 1],
+                               yw[:, :, 1:cx], atol=0)
+
+
 def test_windowed_inv_diag_matches_node():
     grid = make_grid((2, 3, 4))
     opw = PallasWindowedSP(grid, interpret=True)
