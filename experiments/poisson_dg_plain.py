@@ -36,6 +36,13 @@ def main():
                     help="solve -div(c grad u) with c = 1 + 0.5 prod sin(pi x_d)"
                          " (variable-coefficient SIP-DG; beyond the"
                          " constant-coefficient reference DG path)")
+    ap.add_argument("--deform", type=float, nargs="?", const=0.05, default=None,
+                    metavar="FACTOR",
+                    help="curved-geometry SIP-DG: sinusoidally deform the mesh"
+                         " interior by FACTOR * prod sin(pi p_d) (the reference"
+                         " MyManifold chart, poisson_cube/program.cc:405-484;"
+                         " boundary unchanged, so the MMS stays valid);"
+                         " composes with --var-coeff")
     args = ap.parse_args()
 
     coeff_fn, rhs, exact = None, rhs_fn, exact_fn
@@ -78,10 +85,20 @@ def main():
                 continue
             if n_dofs > args.maxsize:
                 break
+            mapping = None
+            if args.deform is not None:
+                org = np.asarray(mesh.origin)
+                lng = np.asarray(mesh.lengths)
+                fac = args.deform
+
+                def mapping(p, org=org, lng=lng, fac=fac):
+                    s_ = fac * np.prod(np.sin(np.pi * p), axis=1)
+                    return org[None, :] + lng[None, :] * p + s_[:, None]
+
             s = MultigridSolverDGPlain(mesh, args.degree, exact, rhs,
                                        kind=kind, n_pre=args.n_pre_smooth,
                                        n_post=args.n_pre_smooth,
-                                       coeff_fn=coeff_fn)
+                                       coeff_fn=coeff_fn, mapping=mapping)
             best = np.inf
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -9,7 +9,9 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-docs/tpu_r3}
 mkdir -p "$OUT"
-export PYTHONPATH=.
+# prepend (not replace): the axon TPU plugin registers via a site hook on
+# the inherited PYTHONPATH (/root/.axon_site); clobbering it kills the tunnel
+export PYTHONPATH=.${PYTHONPATH:+:$PYTHONPATH}
 
 phase() {  # phase <name> <timeout_s> <cmd...>
     local name=$1 tmo=$2; shift 2

@@ -188,22 +188,42 @@ class MultigridSolverDGPlain(_DGOuterCG):
         v_dtype=jnp.float32,
         f_dtype=jnp.float64,
         coeff_fn: Optional[Callable] = None,
+        mapping: Optional[Callable] = None,
     ):
         """``coeff_fn``: optional smooth coefficient c(x) (callable on the
         broadcastable quad-coordinate arrays) for -div(c grad u); every
         level rebuilds its own operator by direct evaluation at that
         level's quadrature points (the h-MG analogue of the reference's
         per-level ``evaluate_coefficient``, multigrid_solver.h:177-186),
-        and JacobiTransformed auto-routes to its exact per-cell path."""
+        and JacobiTransformed auto-routes to its exact per-cell path.
+
+        ``mapping``: optional smooth chart [N, dim] block coords in
+        [0,1]^dim -> physical, switching every level to the curved-geometry
+        operator (ops/dg_curved.py, per-quad-point geometry; the mesh's own
+        origin/lengths are superseded by the chart).  Composes with
+        ``coeff_fn``."""
         assert n_pre == n_post
         self.mesh = mesh
         L = mesh.n_levels
-        self.grids = [_dg_grid_from_mesh(mesh, l, degree, kind) for l in range(L)]
+        if mapping is not None:
+            from ..ops.dg_curved import DGCurvedGrid
+
+            self.grids = [
+                DGCurvedGrid(mesh.cells(l), mapping, degree, kind, coeff_fn)
+                for l in range(L)
+            ]
+        else:
+            self.grids = [_dg_grid_from_mesh(mesh, l, degree, kind)
+                          for l in range(L)]
 
         c_cache = {}
 
         def make_op(level, dtype):
             g = self.grids[level]
+            if mapping is not None:
+                from ..ops.dg_curved import DGLaplaceCurved
+
+                return DGLaplaceCurved(g, dtype)
             if coeff_fn is None:
                 return DGLaplace(g, dtype)
             from ..ops.dg import DGLaplaceVarCoeff
@@ -242,7 +262,8 @@ class MultigridSolverDGPlain(_DGOuterCG):
                     example=jnp.zeros(self.grids[l].shape, v_dtype),
                 )
             self.smoothers.append(sm)
-        quads = _quad_coords_block(self.grids[-1], mesh, L - 1)
+        quads = (self.grids[-1].quad_phys if mapping is not None
+                 else _quad_coords_block(self.grids[-1], mesh, L - 1))
         f_quad = jnp.asarray(np.asarray(rhs_fn(quads), np.float64), f_dtype)
         f_quad = jnp.broadcast_to(f_quad, self.grids[-1].shape)
         self.rhs = self.op_dp.compute_rhs(f_quad)
