@@ -99,27 +99,43 @@ def main():
     metric = os.environ.get("BENCH_METRIC", "fmg")
     result = None
     path = "fused"
-    for size in sizes:
+    import gc
+
+    def _attempt(size, **kw):
+        """One bench attempt; returns (result, error_repr).  The failure
+        path MUST not hold the exception: its traceback references the
+        frame owning the ~3 GB solver, so a retry inside the except block
+        doubles device residency and OOM-cascades every later size
+        (observed on hardware — all sizes down to 64 reported
+        RESOURCE_EXHAUSTED once the first attempt failed)."""
         try:
-            result = bench_fmg(size)
+            return bench_fmg(size, **kw), None
+        except Exception as e:
+            return None, repr(e)
+
+    for size in sizes:
+        result, err = _attempt(size)
+        if result is not None:
             break
-        except Exception as e:  # OOM etc. -> try smaller
-            print(f"# size {size} failed: {e!r}", file=sys.stderr)
-            # a Mosaic/pallas failure must not forfeit the flagship size:
-            # retry once on the pure-XLA paths before shrinking
-            try:
-                import jax
-                jax.clear_caches()
-                result = bench_fmg(size, dp_impl="ozaki_chunked",
-                                   sp_impl="dense_chunked")
-                path = "xla_fallback"   # marked in the JSON line so a
-                #                         broken kernel path can't hide
-                #                         behind a plausible number
-                break
-            except Exception as e2:
-                print(f"# size {size} (xla fallback) failed: {e2!r}",
-                      file=sys.stderr)
-                continue
+        # traceback frames form cycles; collect BEFORE the retry so the
+        # failed attempt's device arrays are actually released
+        gc.collect()
+        import jax
+        jax.clear_caches()
+        print(f"# size {size} failed: {err}", file=sys.stderr)
+        # a Mosaic/pallas failure must not forfeit the flagship size:
+        # retry once on the pure-XLA paths before shrinking
+        result, err2 = _attempt(size, dp_impl="ozaki_chunked",
+                                sp_impl="dense_chunked")
+        if result is not None:
+            path = "xla_fallback"   # marked in the JSON line so a
+            #                         broken kernel path can't hide
+            #                         behind a plausible number
+            break
+        gc.collect()
+        jax.clear_caches()
+        print(f"# size {size} (xla fallback) failed: {err2}",
+              file=sys.stderr)
     if result is None:
         print(json.dumps({"metric": "fmg_solve_throughput", "value": 0.0,
                           "unit": "DoFs/s", "vs_baseline": 0.0}))

@@ -44,6 +44,19 @@ def rhs_fn(coords):
     return dim * (np.pi * WAVE_NUMBER) ** 2 * exact_fn(coords)
 
 
+def _rhs_separable_1d(dim):
+    """Rank-1 per-axis factors of rhs_fn (f = prod_d f_d(x_d)): lets the
+    solver assemble M f on device as an outer product of 1-D vectors
+    instead of shipping the dense dp rhs over the device link."""
+    k = np.pi * WAVE_NUMBER
+    fs = [lambda x: np.sin(k * x) for _ in range(dim)]
+    fs[0] = lambda x: dim * k**2 * np.sin(k * x)
+    return fs
+
+
+rhs_fn.separable_1d = _rhs_separable_1d
+
+
 def build_solver(mesh: BrickMesh, degree: int, n_pre: int = 2, n_post: int = 2,
                  n_cycles: int = 2, sp_impl: str = "dense_chunked",
                  dp_impl: str = "ozaki_chunked") -> MultigridSolver:

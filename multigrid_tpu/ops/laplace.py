@@ -401,6 +401,10 @@ def compute_rhs_host(grid: DofGrid, rhs_fn, u_bc_np: np.ndarray,
     cf. /root/reference/README.md:72 "rhs 8.98 s"), so it runs here in
     slabbed numpy where fp64 is native and exact
     (cf. compute_residual, /root/reference/common/laplace_operator.h:804-845).
+
+    ``rhs_fn=None`` skips the mass term and returns only ``-A u_bc`` (the
+    boundary-correction mode of the separable device assembly,
+    solvers/multigrid.MultigridSolver._rhs_separable_device).
     """
     assert grid.dim == 3
     coef = coef if coef is not None else make_diag_coef(grid)
@@ -434,21 +438,38 @@ def compute_rhs_host(grid: DofGrid, rhs_fn, u_bc_np: np.ndarray,
     for z0 in range(0, ncz, z_slab_cells):
         cz = min(z_slab_cells, ncz - z0)
         # --- M f: rhs at quad points, times w3*JxW, contracted to nodes
-        coords = [
-            qz[z0 : z0 + cz].reshape(cz, 1, 1, n, 1, 1),
-            qy.reshape(1, ncy, 1, 1, n, 1),
-            qx.reshape(1, 1, ncx, 1, 1, n),
-        ]
-        fq = np.broadcast_to(np.asarray(rhs_fn(coords), np.float64),
-                             (cz, ncy, ncx, n, n, n))
-        y2 = fq.reshape(cz * ncy * ncx, N) @ W.T
+        if rhs_fn is not None:
+            coords = [
+                qz[z0 : z0 + cz].reshape(cz, 1, 1, n, 1, 1),
+                qy.reshape(1, ncy, 1, 1, n, 1),
+                qx.reshape(1, 1, ncx, 1, 1, n),
+            ]
+            fq = np.broadcast_to(np.asarray(rhs_fn(coords), np.float64),
+                                 (cz, ncy, ncx, n, n, n))
+            y2 = fq.reshape(cz * ncy * ncx, N) @ W.T
+        else:
+            y2 = np.zeros((cz * ncy * ncx, N))
         # --- minus A u_bc per cell, skipped when the boundary data is zero
         if not ubc_zero:
             rows = u[z0 * p : (z0 + cz) * p + 1]
             w = sliding_window_view(rows, n, axis=0)[::p]
             w = sliding_window_view(w, n, axis=1)[:, ::p]
             w = sliding_window_view(w, n, axis=2)[:, :, ::p]
-            y2 -= np.ascontiguousarray(w).reshape(-1, N) @ K_el.T
+            if rhs_fn is None:
+                # correction-only mode: u_bc lives on the boundary, so
+                # only boundary-adjacent cells contribute — dgemm that
+                # subset (~4/nc of the cells) instead of the full slab
+                sel = np.zeros((cz, ncy, ncx), bool)
+                if z0 == 0:
+                    sel[0] = True
+                if z0 + cz == ncz:
+                    sel[cz - 1] = True
+                sel[:, 0, :] = sel[:, -1, :] = True
+                sel[:, :, 0] = sel[:, :, -1] = True
+                wsel = np.ascontiguousarray(w[sel]).reshape(-1, N)
+                y2[sel.reshape(-1)] -= wsel @ K_el.T
+            else:
+                y2 -= np.ascontiguousarray(w).reshape(-1, N) @ K_el.T
         y = y2.reshape(cz, ncy, ncx, n, n, n)
         # --- scatter-add the slab (pairs [cz,nz], [ncy,ny], [ncx,nx])
         t = y.transpose(0, 3, 1, 4, 2, 5)       # [cz, nz, ncy, ny, ncx, nx]

@@ -308,7 +308,7 @@ class PallasWindowedSP:
         f2 = f12_ref[0, 1]
         diag = None
         for d in range(3):
-            term = zy_ref[d][:, :, None] * fx_ref[d][None, None, :]
+            term = zy_ref[0, 0, d][:, :, None] * fx_ref[d][None, None, :]
             diag = term if diag is None else diag + term
         r = b_ref[...] - y
         out_ref[0, :, 0] = (x_blk + f1 * (x_blk - xold_ref[...])
@@ -408,7 +408,17 @@ class PallasWindowedSP:
             zy.append(np.float32(lap_op.coef.values[d])
                       * fz[:, None] * fy[None, :])
             fx.append(self.window_x_line(np.asarray(lines[2], np.float32)))
-        self._zy = jnp.asarray(np.stack(zy))           # [3, Z, Yp]
+        # blocked [cz, nyc, 3, p, rows] layout: Mosaic requires the LAST
+        # TWO block dims to be (8,128)-tiled or full — a [3, Z, Yp] layout
+        # blocked (3, p, rows) has second-minor p=4 and fails to lower
+        # (first-hardware-run finding); pre-blocking makes the (p, rows)
+        # trailing dims exactly the array extents.  The Z-th z plane and
+        # the y padding are boundary rows the kernel never reads.
+        Zb = self.cz * self.p
+        Yb = self.nyc * self.cy_b * self.p
+        a = np.stack(zy)[:, :Zb, :Yb]
+        a = a.reshape(3, self.cz, self.p, self.nyc, self.cy_b * self.p)
+        self._zy = jnp.asarray(a.transpose(1, 3, 0, 2, 4))
         self._fx = jnp.asarray(np.stack(fx))           # [3, G]
 
     def cheb_fused(self, xw, xw_old, bw, f1, f2) -> jnp.ndarray:
@@ -431,8 +441,8 @@ class PallasWindowedSP:
                 blk,                                   # x_old
                 pl.BlockSpec((1, 2), lambda zi, yj: (_I0, _I0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((3, p, rows),
-                             lambda zi, yj: (_I0, zi, yj),
+                pl.BlockSpec((1, 1, 3, p, rows),
+                             lambda zi, yj: (zi, yj, _I0, _I0, _I0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, G), lambda zi, yj: (_I0, _I0),
                              memory_space=pltpu.VMEM),

@@ -37,6 +37,42 @@ def _eval_on(coords, fn):
     return fn(coords)
 
 
+def _bc_faces_host(g: DofGrid, exact_fn) -> list[np.ndarray]:
+    """Analytic boundary values as 2*dim face slabs (axis d kept with
+    extent 1), ordered [(d, side) for d for side in (0, 1)] — the compact
+    wire format of the inhomogeneous Dirichlet data
+    (cf. /root/reference/common/multigrid_solver.h:224-253, which also
+    interpolates only face support points)."""
+    nodes = g.node_coords()
+    faces = []
+    for d in range(g.dim):
+        for side in (0, 1):
+            idx = 0 if side == 0 else g.shape[d] - 1
+            sub = [np.take(a, [idx], axis=d) if e == d else a
+                   for e, a in enumerate(nodes)]
+            shp = list(g.shape)
+            shp[d] = 1
+            vals = np.broadcast_to(
+                np.asarray(exact_fn(sub), np.float64), shp)
+            faces.append(np.ascontiguousarray(vals))
+    return faces
+
+
+def _dense_bc_host(g: DofGrid, faces: list[np.ndarray]) -> np.ndarray:
+    """Dense host u_bc node grid from face slabs (host-only scratch for
+    the numpy rhs assembly; never shipped to the device)."""
+    out = np.zeros(g.shape, np.float64)
+    i = 0
+    for d in range(g.dim):
+        for side in (0, 1):
+            idx = [slice(None)] * g.dim
+            idx[d] = slice(0, 1) if side == 0 else slice(
+                g.shape[d] - 1, g.shape[d])
+            out[tuple(idx)] = faces[i]
+            i += 1
+    return out
+
+
 class MultigridSolver:
     """FE_Q(p) Poisson multigrid on a structured brick.
 
@@ -206,38 +242,54 @@ class MultigridSolver:
         self.bmask = LazyMaskList(
             [interior_axes_jnp(g) for g in self.grids], invert=True
         )
+        # u_bc lives as 2*dim FACE slabs per level, never as a dense node
+        # grid: the dense array is zero off the boundary, and shipping it
+        # over the device link costs ~70 s/GB at the flagship (measured —
+        # the link, not the host compute, dominated u_bc[7] = 100 s);
+        # _impose_bc re-creates the where(bmask, u_bc, x) semantics from
+        # the slabs on device.
         self.u_bc = []
         self.rhs = []
         self._exact_fn = exact_fn
         self._exact_quad_cache = {}
         for l, g in enumerate(self.grids):
-            nodes = g.node_coords()
-            vals = np.asarray(exact_fn(nodes), dtype=np.float64)
-            vals = np.broadcast_to(vals, g.shape)
-            ubc_np = np.where(np.asarray(g.boundary_mask()), vals, 0.0)
-            ubc = jnp.asarray(ubc_np, f_dtype)
-            self.u_bc.append(ubc)
+            faces_np = _bc_faces_host(g, exact_fn)
+            self.u_bc.append([jnp.asarray(f, f_dtype) for f in faces_np])
             _tick(f"u_bc[{l}]")
             if g.dim == 3 and isinstance(self.ops_dp[l].coef, DiagCoef):
                 # 3-D separable grids assemble the dp rhs on the HOST at
                 # EVERY level (native fp64, no device compile): the on-device
                 # fp64-emulation assembly costs minutes of compile per level
                 # (143 s for the COARSEST level alone at the flagship, ~25
-                # min unrolled at 135M); the dgemm host path takes seconds
+                # min unrolled at 135M); the dgemm host path takes seconds.
+                # When the driver declares a rank-1 separable rhs_fn, the
+                # M f part becomes an on-device outer product of 1-D
+                # assembled vectors and only thin -A u_bc boundary slabs
+                # cross the link (vs the full dense rhs, 70 s at 135M).
                 from ..ops.laplace import compute_rhs_host
 
-                self.rhs.append(jnp.asarray(
-                    compute_rhs_host(g, rhs_fn, ubc_np,
-                                     self.ops_dp[l].coef), f_dtype))
+                sep = getattr(rhs_fn, "separable_1d", None)
+                # separable device assembly only where the link transfer
+                # hurts; small levels ship dense (also keeps the disjoint
+                # slab decomposition away from its < 2(p+1)-plane edge case)
+                if sep is not None and g.n_dofs > 4_000_000:
+                    self.rhs.append(self._rhs_separable_device(
+                        l, g, sep(g.dim), faces_np))
+                else:
+                    self.rhs.append(jnp.asarray(
+                        compute_rhs_host(g, rhs_fn, _dense_bc_host(g, faces_np),
+                                         self.ops_dp[l].coef), f_dtype))
             else:
                 quads = g.quad_coords_interleaved()
                 f_quad = jnp.asarray(
                     np.asarray(rhs_fn(quads), dtype=np.float64), f_dtype)
+                ubc = self._impose_bc(
+                    self.u_bc[l], jnp.zeros(g.shape, f_dtype))
                 rhs_fn_op = (self.ops_dp[l].compute_rhs_chunked
                              if g.dim == 3 and g.n_dofs > 4_000_000
                              else self.ops_dp[l].compute_rhs)
                 self.rhs.append(jax.jit(rhs_fn_op)(f_quad, ubc))
-                del f_quad
+                del f_quad, ubc
             _tick(f"rhs[{l}]")
 
         # Chebyshev smoothers (multigrid_solver.h:268-291).  The diagonal
@@ -357,6 +409,73 @@ class MultigridSolver:
         if hasattr(self, "_cg_step_cache"):
             self._cg_step_cache = {}
 
+    def _impose_bc(self, faces, x: jnp.ndarray) -> jnp.ndarray:
+        """Overwrite the Dirichlet boundary of ``x`` with the stored
+        analytic face values — identical to ``jnp.where(boundary_mask,
+        u_bc_dense, x)`` with the dense u_bc never materialized or
+        transferred (edge/corner nodes are set more than once with the
+        same value)."""
+        i = 0
+        for d in range(x.ndim):
+            for side in (0, 1):
+                f = faces[i]
+                i += 1
+                idx = [slice(None)] * x.ndim
+                idx[d] = (slice(0, 1) if side == 0
+                          else slice(x.shape[d] - 1, x.shape[d]))
+                x = x.at[tuple(idx)].set(f.astype(x.dtype))
+        return x
+
+    def _rhs_separable_device(self, level: int, g: DofGrid, factors,
+                              faces_np) -> jnp.ndarray:
+        """dp rhs ``b = M f - A u_bc`` assembled ON DEVICE for rank-1
+        separable f = prod_d factors[d](x_d): the mass term is an outer
+        product of 1-D host-assembled vectors (exact — the cells containing
+        a node and the quadrature both factorize per axis), and only thin
+        node slabs of the boundary correction cross the device link
+        (6*(p+1) planes at the flagship vs the full dense rhs: 63 MB vs
+        1.08 GB at ~15 MB/s measured link rate)."""
+        from ..ops.laplace import _scatter_pair_host, compute_rhs_host
+
+        b = g.basis
+        S = np.asarray(b.S, np.float64)
+        qw = np.asarray(b.quad_weights, np.float64)
+        vs = []
+        for d in range(3):
+            xq = np.asarray(g.axis_quads[d], np.float64)     # [nc, q]
+            fd = np.asarray(factors[d](xq), np.float64)
+            m = (fd * qw[None, :]) @ S                       # [nc, n]
+            vs.append(_scatter_pair_host(m, g.degree))       # [N_d]
+        vs[0] = vs[0] * g.jxw_scalar
+        n = g.basis.n
+        slabs, slices = [], []
+        if any(np.any(f) for f in faces_np):
+            corr = compute_rhs_host(g, None, _dense_bc_host(g, faces_np),
+                                    self.ops_dp[level].coef)
+            Z, Y, X = g.shape
+            # disjoint decomposition of the support (nodes of
+            # boundary-adjacent cells): z slabs full, then y, then x
+            zi = slice(n, Z - n)
+            yi = slice(n, Y - n)
+            for sl in (
+                (slice(0, n),), (slice(Z - n, Z),),
+                (zi, slice(0, n)), (zi, slice(Y - n, Y)),
+                (zi, yi, slice(0, n)), (zi, yi, slice(X - n, X)),
+            ):
+                slices.append(sl)
+                slabs.append(jnp.asarray(corr[sl], self.f_dtype))
+            del corr
+
+        def build(vz, vy, vx, slab_args):
+            r = vz[:, None, None] * (vy[None, :, None] * vx[None, None, :])
+            for sl, a in zip(slices, slab_args):
+                r = r.at[sl].add(a)
+            return jnp.where(self.bmask[level], 0.0, r)
+
+        return jax.jit(build)(
+            jnp.asarray(vs[0], self.f_dtype), jnp.asarray(vs[1], self.f_dtype),
+            jnp.asarray(vs[2], self.f_dtype), slabs)
+
     def exact_on_quad(self, level: int) -> jnp.ndarray:
         """Analytic solution at the quadrature points of one level (lazily
         built: at the flagship size this array is ~2GB dp and is only
@@ -450,7 +569,7 @@ class MultigridSolver:
         sol = t.astype(self.f_dtype)
         sols.append(sol)
         for l in range(1, self.maxlevel + 1):
-            sol_bc = jnp.where(self.bmask[l - 1], u_bc[l - 1], sol)
+            sol_bc = self._impose_bc(u_bc[l - 1], sol)
             sol = self._constrain(l, self.transfers_nobc[l].prolongate(sol_bc))
             sol = jnp.where(self.bmask[l], 0.0, sol)
             res = self.dp_ops[l].vmult_residual(rhs[l], sol)
@@ -467,8 +586,8 @@ class MultigridSolver:
             # boundary reinstatement folded into the same program: one
             # dispatch per solve, and XLA fuses the where into the final
             # level's correction add (a full read+write pass saved)
-            self._fmg_jit = jax.jit(lambda rhs, ubc: jnp.where(
-                self.bmask[L], ubc[L], self._fmg(rhs, ubc)[-1]))
+            self._fmg_jit = jax.jit(lambda rhs, ubc: self._impose_bc(
+                ubc[L], self._fmg(rhs, ubc)[-1]))
         return self._fmg_jit(self.rhs, self.u_bc)
 
     def solve_analyze(self, compute_errors: Optional[bool] = None):
@@ -505,11 +624,11 @@ class MultigridSolver:
                 sol = t.astype(self.f_dtype)
                 stats = []
                 for l in range(1, self.maxlevel + 1):
-                    sol_bc = jnp.where(self.bmask[l - 1], u_bc[l - 1], sol)
+                    sol_bc = self._impose_bc(u_bc[l - 1], sol)
                     sol = self._constrain(
                         l, self.transfers_nobc[l].prolongate(sol_bc))
                     if compute_errors:
-                        u_full = jnp.where(self.bmask[l], u_bc[l], sol)
+                        u_full = self._impose_bc(u_bc[l], sol)
                         err_start = self.ops_dp[l].l2_error(
                             u_full, exact_quads[l])
                     else:
@@ -523,7 +642,7 @@ class MultigridSolver:
                     res_end = _norm(
                         self.dp_ops[l].vmult_residual(rhs[l], sol))
                     if compute_errors:
-                        u_full = jnp.where(self.bmask[l], u_bc[l], sol)
+                        u_full = self._impose_bc(u_bc[l], sol)
                         err_end = self.ops_dp[l].l2_error(
                             u_full, exact_quads[l])
                     else:
@@ -546,7 +665,7 @@ class MultigridSolver:
                      residual_end=float(r1), error_end=float(e1),
                      reduction=reduction)
             )
-        solution = jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
+        solution = self._impose_bc(self.u_bc[self.maxlevel], sol)
         return solution, report, reduction
 
     # ------------------------------------------------------------------ CG
@@ -590,7 +709,7 @@ class MultigridSolver:
             red = (
                 float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
             )
-            sol = jnp.where(self.bmask[L], self.u_bc[L], res.x)
+            sol = self._impose_bc(self.u_bc[L], res.x)
             return sol, its, red
         if self.grids[self.maxlevel].n_dofs > 64_000_000:
             from .cg import cg_solve_stepped
@@ -615,8 +734,7 @@ class MultigridSolver:
             red = (
                 float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
             )
-            sol = jnp.where(self.bmask[L], self.u_bc[L],
-                            res.x.reshape(shape))
+            sol = self._impose_bc(self.u_bc[L], res.x.reshape(shape))
             return sol, its, red
         if self._cg_jit is None:
             self._cg_jit = jax.jit(
@@ -634,7 +752,7 @@ class MultigridSolver:
         red = (
             float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
         )
-        sol = jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], res.x)
+        sol = self._impose_bc(self.u_bc[self.maxlevel], res.x)
         return sol, its, red
 
     # ----------------------------------------------------------- analysis
@@ -645,9 +763,9 @@ class MultigridSolver:
             # arrays + padded einsum temps in HBM would crowd out the solve
             from ..ops.laplace import l2_error_host
 
-            u = jnp.where(self.bmask[level], self.u_bc[level], sol)
+            u = self._impose_bc(self.u_bc[level], sol)
             return l2_error_host(g, np.asarray(u), self._exact_fn)
-        u = jnp.where(self.bmask[level], self.u_bc[level], sol)
+        u = self._impose_bc(self.u_bc[level], sol)
         return float(self._jit_of((level, "l2err"), self.ops_dp[level].l2_error)(
             u, self.exact_on_quad(level)))
 

@@ -37,7 +37,10 @@ def solver_memory_report(solver) -> dict:
     per_level = []
     for l in range(len(solver.grids)):
         row = dict(level=l, dofs=int(solver.grids[l].n_dofs))
-        row["vectors"] = _nbytes(solver.rhs[l]) + _nbytes(solver.u_bc[l])
+        ubc = solver.u_bc[l]   # dense array (general solver) or face slabs
+        ubc_bytes = (sum(_nbytes(f) for f in ubc) if isinstance(ubc, list)
+                     else _nbytes(ubc))
+        row["vectors"] = _nbytes(solver.rhs[l]) + ubc_bytes
         op = solver.sp_ops[l] if hasattr(solver, "sp_ops") else solver.ops[l]
         row["operator"] = sum(
             _nbytes(v) for v in vars(op).values() if hasattr(v, "nbytes")
