@@ -50,6 +50,20 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64",
         op = DGLaplaceOzaki(grid)
         dtype_name = "float64"
         dtype = jnp.float64
+    elif impl == "curved":
+        # per-point-geometry pipeline (ops/dg_curved.py) on the SAME
+        # sheared map expressed as a chart: measures the general-geometry
+        # operator's throughput while staying cross-verifiable against
+        # the face-based oracle (the reference pattern, matvec_dg
+        # program.cc:206-207; its geometry-general analogue is the CG
+        # shell path)
+        from multigrid_tpu.ops.dg_curved import DGCurvedGrid, DGLaplaceCurved
+
+        scale = right - left
+        cgrid = DGCurvedGrid(
+            tuple(base), lambda p: (p * scale[None, :]) @ trafo.T,
+            degree, kind)
+        op = DGLaplaceCurved(cgrid, dtype)
     else:
         op = DGLaplace(grid, dtype)
     vmult = jax.jit(op.vmult)
@@ -91,7 +105,8 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64",
     nbytes = np.dtype(dtype_name).itemsize
     gbs = 1e-9 * grid.n_dofs * nbytes * 3 / best
     gflops = 1e-9 * ops / best
-    label = kind if impl == "fused" else f"{kind}:ozk"
+    label = (kind if impl == "fused"
+             else f"{kind}:{'ozk' if impl == 'ozaki' else 'crv'}")
     print(f"{label:8s} p={degree} n_dof={grid.n_dofs:>10d}  {best:.5f} s  "
           f"DoFs/s {dofs_per_s:.4g}  GFlop/s {gflops:.4g}  GB/s {gbs:.4g}  "
           f"ops/dof {ops / grid.n_dofs:.1f}  verify {verify:.2e}")
@@ -107,7 +122,8 @@ def main():
     ap.add_argument("--steps", type=int, default=12,
                     help="refinement steps (cells = 2^(steps/3))")
     ap.add_argument("--dtype", default="float64")
-    ap.add_argument("--impl", default="fused", choices=["fused", "ozaki", "both"])
+    ap.add_argument("--impl", default="fused",
+                    choices=["fused", "ozaki", "curved", "both"])
     args = ap.parse_args()
     for degree in range(args.min_degree, args.max_degree + 1):
         for kind in ("hermite", "gll", "gauss"):
@@ -115,6 +131,8 @@ def main():
                 run(degree, kind, args.steps, args.dtype)
             if args.impl in ("ozaki", "both") and args.dtype == "float64":
                 run(degree, kind, args.steps, args.dtype, impl="ozaki")
+            if args.impl == "curved":
+                run(degree, kind, args.steps, args.dtype, impl="curved")
 
 
 if __name__ == "__main__":

@@ -38,13 +38,13 @@ BENCH_METRIC=matvec phase mv_fused 1800 python bench.py
 BENCH_METRIC=matvec BENCH_DP_IMPL=ozaki_chunked BENCH_SP_IMPL=dense_chunked \
     phase mv_xla 1800 python bench.py
 
-# 3b. FMG knob A/Bs: node-grid dp entries via the fused kernel; windowed
-#     smoother extended to the cx=64 level
+# 3b. FMG knob A/Bs: node-grid dp entries via the fused kernel; banded
+#     MXU-matmul transfers.  (The MGT_SP_WIN_ANY_CX / _CX64 knobs are
+#     dead on hardware: Mosaic cannot lower the kernel's lane-split
+#     reshape below cx=128 — measured 2026-08-18, "infer-vector-layout:
+#     unsupported shape cast (5x129x160)->(5x129x5x32)".)
 MGT_DP_NODE_VIA_WIN=1 phase bench_dpwin 2400 python bench.py
-MGT_SP_WIN_CX64=1 phase bench_cx64 2400 python bench.py
 MGT_MATMUL_TRANSFER=1 phase bench_mmt 2400 python bench.py
-MGT_SP_WIN_ANY_CX=1 MGT_MATMUL_TRANSFER=1 MGT_DP_NODE_VIA_WIN=1 \
-    phase bench_all_knobs 2400 python bench.py
 
 # 4. shell ladder to >=10M dofs (mixed + the pure-double/fourth-kind
 #    reference specialization); 11 cycles reach the 6-level 6-block shell

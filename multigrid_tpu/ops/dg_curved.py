@@ -105,8 +105,14 @@ class DGCurvedGrid:
         if coeff_fn is not None:
             c = np.asarray(coeff_fn(self.quad_phys), np.float64)
         cw = self.jxw_vol * c
-        self.Gw = [[cw * G[:, a, e].reshape(vshape) for e in range(dim)]
-                   for a in range(dim)]
+        # symmetric merged tensor: build the upper triangle once and alias
+        # the mirror entries (same array object -> one device constant)
+        self.Gw = [[None] * dim for _ in range(dim)]
+        for a in range(dim):
+            for e in range(a, dim):
+                arr = cw * G[:, a, e].reshape(vshape)
+                self.Gw[a][e] = arr
+                self.Gw[e][a] = arr
 
         # -------------------------------------------------------- face geometry
         # face arrays: cell axis d extended to C_d+1 (face planes), node axes
@@ -206,8 +212,12 @@ class DGLaplaceCurved(DGLaplace):
         self.f = [jnp.asarray(b.f0, dtype), jnp.asarray(b.f1, dtype)]
         self.is_collocation = grid.kind == GAUSS
 
-        self.Gw = [[jnp.asarray(grid.Gw[a][e], dtype) for e in range(dim)]
-                   for a in range(dim)]
+        self.Gw = [[None] * dim for _ in range(dim)]
+        for a in range(dim):
+            for e in range(a, dim):
+                arr = jnp.asarray(grid.Gw[a][e], dtype)
+                self.Gw[a][e] = arr
+                self.Gw[e][a] = arr
         self.jxw_vol = jnp.asarray(grid.jxw_vol, dtype)
         # per (direction, cell-side) slices of the face tables: cell k's
         # face on side s is face plane k+s
