@@ -120,6 +120,21 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
     grid = solver.grids[solver.maxlevel]
     row = {"cells": mesh.n_cells(mesh.max_level), "dofs": grid.n_dofs}
 
+    # dispatch round-trip floor: a blocking timed span on a remote device
+    # (axon tunnel) includes one host<->device round trip that colocated
+    # deployments do not pay; measure it so the solve rows can be read
+    # net of it.  (The reference's MPI timing has no such term.)
+    trivial = jax.jit(lambda a: a + 1.0)
+    probe = jnp.zeros((8,), jnp.float32)
+    trivial(probe).block_until_ready()
+    rtt = np.inf
+    for _ in range(5):
+        t0 = time.perf_counter()
+        trivial(probe).block_until_ready()
+        rtt = min(rtt, time.perf_counter() - t0)
+    row["rtt"] = rtt
+    _phase(f"dispatch rtt floor: {rtt*1e3:.1f} ms")
+
     best = np.inf
     sol = None
     for _ in range(n_fmg_repeat):
@@ -131,6 +146,17 @@ def run_cycle(mesh: BrickMesh, degree: int, n_cycles: int, n_pre: int,
         best = min(best, time.perf_counter() - t0)
         _phase(f"fmg rep: {time.perf_counter()-t0:.3f} s")
     row["fmg_time"] = best
+    if grid.n_dofs < 50_000_000:
+        # pipelined solve throughput: queue several solves, block once —
+        # amortizes the dispatch round trip exactly like the matvec loops
+        # below.  Small sizes only: two queued solves must coexist in HBM.
+        n_pipe = 5
+        t0 = time.perf_counter()
+        sols = [solver.solve() for _ in range(n_pipe)]
+        sols[-1].block_until_ready()
+        row["fmg_time_piped"] = (time.perf_counter() - t0) / n_pipe
+        sols = None
+        _phase(f"fmg piped: {row['fmg_time_piped']:.3f} s/solve x {n_pipe}")
     _, report, reduction = solver.solve_analyze()
     _phase("analyze done")
     row["reduction"] = reduction
