@@ -48,7 +48,11 @@ _MAX_M_SP = 2         # pairs k+l <= 2: 6 block products, ~2^-24 truncation
 
 def window_perm_matrices(p: int, cx: int, X: int, G: int):
     """0/1 x-window permutation matrices (node->window [X, G] and
-    window->node [G, X]) as bf16 device constants for the MXU relayout."""
+    window->node [G, X]) as bf16 NUMPY constants for the MXU relayout.
+    Kept numpy on purpose: XWindowMap memoizes them and the first call may
+    happen inside a jit trace — a jnp array created there is a tracer and
+    leaks into later traces (measured: solve_analyze after solve at 513^3);
+    numpy constants embed safely into every consuming executable."""
     Pw = np.zeros((X, G), np.float32)
     for j in range(p + 1):
         for i in range(cx):
@@ -57,7 +61,7 @@ def window_perm_matrices(p: int, cx: int, X: int, G: int):
     for nn in range(X - 1):
         Pu[(nn % p) * cx + nn // p, nn] = 1.0
     Pu[p * cx + cx - 1, X - 1] = 1.0
-    return jnp.asarray(Pw, jnp.bfloat16), jnp.asarray(Pu, jnp.bfloat16)
+    return Pw.astype(jnp.bfloat16), Pu.astype(jnp.bfloat16)
 
 
 def perm_mm(a: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:

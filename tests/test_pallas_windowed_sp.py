@@ -9,6 +9,7 @@ and reductions: the windowed smoother must leave the transcript anchors
 (tests/test_multigrid_solver.py) intact.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -72,6 +73,24 @@ def test_perm_matmul_conversions_match_reshape():
     back_mm = op.xmap.unwin(w_ref[:, :op.Y], interpret=False)
     np.testing.assert_array_equal(np.asarray(back_mm),
                                   np.asarray(op.from_windowed(w_ref)))
+
+
+def test_xwindowmap_first_use_inside_jit_does_not_leak():
+    """Regression: XWindowMap memoizes its permutation matrices on first
+    use; when that first use happened INSIDE a jit trace the cache held
+    tracers and the next independent trace died with UnexpectedTracerError
+    (measured at 513^3: solve_analyze after solve).  The matrices must be
+    numpy constants, safe to materialize under tracing."""
+    grid = make_grid((2, 3, 4))
+    op = PallasWindowedSP(grid, interpret=True)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(grid.shape),
+                    jnp.float32)
+    f1 = jax.jit(lambda a: op.xmap.win(a, interpret=False))
+    y1 = f1(x)                                   # first use under trace
+    f2 = jax.jit(lambda a: op.xmap.win(a, interpret=False))
+    y2 = f2(x)                                   # independent second trace
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert isinstance(op.xmap._mats()[0], np.ndarray)
 
 
 def test_cheb_fused_output_dup_consistency():
