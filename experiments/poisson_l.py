@@ -137,10 +137,18 @@ def refine_and_coarsen_fixed_number(forest, eta2, top, bottom):
     return forest.refine(marks_r, marks_c)
 
 
-def run_cycle(forest, degree, rtol=1e-9):
-    grids = mg_ladder(forest, degree)
+def run_cycle(forest, degree, rtol=1e-9, local_smoothing=False):
     t0 = time.perf_counter()
-    s = AdaptiveMultigridSolver(grids, exact_fn, rhs_fn)
+    if local_smoothing:
+        # the reference's actual poisson_l preconditioner (deal.II Multigrid
+        # with level-local smoothing + interface matrices, program.cc:338-416)
+        from multigrid_tpu.solvers.multigrid_local import LocalSmoothingMultigrid
+
+        grids = [AdaptiveGrid(forest, degree, boundary_fn)]
+        s = LocalSmoothingMultigrid(grids[0], exact_fn, rhs_fn)
+    else:
+        grids = mg_ladder(forest, degree)
+        s = AdaptiveMultigridSolver(grids, exact_fn, rhs_fn)
     setup_t = time.perf_counter() - t0
     t0 = time.perf_counter()
     sol, its, red = s.solve_cg(rtol=rtol)
@@ -179,6 +187,10 @@ def main():
     ap.add_argument("--max-dofs", type=int, default=2_000_000)
     ap.add_argument("--uniform", action="store_true",
                     help="uniform refinement instead of adaptive")
+    ap.add_argument("--local-smoothing", action="store_true",
+                    help="level-local smoothing + interface operators (the "
+                         "reference's preconditioner) instead of global "
+                         "coarsening")
     args = ap.parse_args()
 
     if args.initial is None:
@@ -187,7 +199,8 @@ def main():
     rows = []
     prev = None  # (solver, solution) for the transfer demonstration
     for cycle in range(args.cycles):
-        row, sol, eta2, s = run_cycle(forest, args.degree)
+        row, sol, eta2, s = run_cycle(forest, args.degree,
+                                      local_smoothing=args.local_smoothing)
         if prev is not None:
             # solution transfer across the refinement (SolutionTransfer,
             # program.cc:536-542): interpolate the previous solution to the
