@@ -126,9 +126,15 @@ def main():
         timings.reset()  # discard compile-pass timings
         s.v_cycle_timed(s.maxlevel, defect, args.n_mg_cycles, timings)
         timings.print_table()
-        t0 = time.perf_counter()
-        sol_cg, its, red = s.solve_cg()
-        cg_time = time.perf_counter() - t0
+        # warm-up rep compiles the CG program (f64-emulation compiles run
+        # minutes at scale on TPU); report best-of-3 steady-state like the
+        # FMG loop above and the poisson_cube driver
+        cg_time = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sol_cg, its, red = s.solve_cg()
+            sol_cg.block_until_ready()
+            cg_time = min(cg_time, time.perf_counter() - t0)
         row = dict(cells=s.grids[s.maxlevel].n_cells, dofs=g_dofs,
                    fmg_time=best, fmg_L2error=fmg_err, cg_time=cg_time,
                    cg_its=its, cg_reduction=red,

@@ -44,7 +44,9 @@ BENCH_METRIC=matvec BENCH_DP_IMPL=ozaki_chunked BENCH_SP_IMPL=dense_chunked \
 #     reshape below cx=128 — measured 2026-08-18, "infer-vector-layout:
 #     unsupported shape cast (5x129x160)->(5x129x5x32)".)
 MGT_DP_NODE_VIA_WIN=1 phase bench_dpwin 2400 python bench.py
-MGT_MATMUL_TRANSFER=1 phase bench_mmt 2400 python bench.py
+# MatmulTransfer became the TPU default after the 2026-08-18 A/B
+# (0.919 s vs 1.050 s flagship FMG); this measures the old flavor
+MGT_MATMUL_TRANSFER=0 phase bench_wint 2400 python bench.py
 
 # 4. shell ladder to >=10M dofs (mixed + the pure-double/fourth-kind
 #    reference specialization); 11 cycles reach the 6-level 6-block shell

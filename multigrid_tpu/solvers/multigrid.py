@@ -218,10 +218,18 @@ class MultigridSolver:
             self.dp_ops = self.ops_dp
         _tick("operators")
         # constrained transfer (V-cycle, sp) and unconstrained (solution, dp)
-        # MGT_MATMUL_TRANSFER=1 swaps in the per-axis banded-MXU-matmul
-        # flavor (ops/transfer.MatmulTransfer) for hardware A/B
+        # The per-axis banded-MXU-matmul flavor (ops/transfer.MatmulTransfer)
+        # is the TPU default: hardware A/B 2026-08-18 measured flagship FMG
+        # 0.919 s vs 1.050 s with the gather/sweep/scatter transfers (whose
+        # cross-lane window relayouts are glue, not FLOPs, on the MXU), same
+        # L2 error.  On CPU the ~50x FLOP inflation of the dense band is a
+        # loss — keep the windowed flavor there.  MGT_MATMUL_TRANSFER=0/1
+        # overrides either way.
+        _mmt = _os.environ.get("MGT_MATMUL_TRANSFER")
+        use_mmt = (jax.default_backend() == "tpu" if _mmt is None
+                   else _mmt not in ("", "0"))
         _TransferCls = Transfer
-        if _os.environ.get("MGT_MATMUL_TRANSFER") and v_dtype == jnp.float32:
+        if use_mmt and v_dtype == jnp.float32:
             from ..ops.transfer import MatmulTransfer as _TransferCls
         self.transfers = [None] + [
             _TransferCls(self.grids[l], self.grids[l - 1], v_dtype,
@@ -435,7 +443,8 @@ class MultigridSolver:
         node slabs of the boundary correction cross the device link
         (6*(p+1) planes at the flagship vs the full dense rhs: 63 MB vs
         1.08 GB at ~15 MB/s measured link rate)."""
-        from ..ops.laplace import _scatter_pair_host, compute_rhs_host
+        from ..ops.laplace import (_scatter_pair_host,
+                                   compute_bc_slab_correction_host)
 
         b = g.basis
         S = np.asarray(b.S, np.float64)
@@ -447,24 +456,13 @@ class MultigridSolver:
             m = (fd * qw[None, :]) @ S                       # [nc, n]
             vs.append(_scatter_pair_host(m, g.degree))       # [N_d]
         vs[0] = vs[0] * g.jxw_scalar
-        n = g.basis.n
         slabs, slices = [], []
         if any(np.any(f) for f in faces_np):
-            corr = compute_rhs_host(g, None, _dense_bc_host(g, faces_np),
-                                    self.ops_dp[level].coef)
-            Z, Y, X = g.shape
-            # disjoint decomposition of the support (nodes of
-            # boundary-adjacent cells): z slabs full, then y, then x
-            zi = slice(n, Z - n)
-            yi = slice(n, Y - n)
-            for sl in (
-                (slice(0, n),), (slice(Z - n, Z),),
-                (zi, slice(0, n)), (zi, slice(Y - n, Y)),
-                (zi, yi, slice(0, n)), (zi, yi, slice(X - n, X)),
-            ):
-                slices.append(sl)
-                slabs.append(jnp.asarray(corr[sl], self.f_dtype))
-            del corr
+            # O(surface) host assembly over the 6 boundary cell blocks —
+            # the dense O(volume) path cost 37 s single-core at 135M dofs
+            slices, arrs = compute_bc_slab_correction_host(
+                g, faces_np, self.ops_dp[level].coef)
+            slabs = [jnp.asarray(a, self.f_dtype) for a in arrs]
 
         def build(vz, vy, vx, slab_args):
             r = vz[:, None, None] * (vy[None, :, None] * vx[None, None, :])

@@ -94,8 +94,10 @@ class GeneralMultigridSolver:
             self.exact_quad.append(jnp.asarray(eq.reshape(shape), f_dtype))
 
         self.smoothers = []
+        self._inv_diag = []
         for l in range(L):
             inv_diag = jax.jit(self.ops[l].inverse_diagonal)()
+            self._inv_diag.append(inv_diag)
             if l > self.minlevel:
                 sm = Chebyshev.create(
                     self.ops[l].vmult, inv_diag, smoothing_range=20.0,
@@ -110,9 +112,20 @@ class GeneralMultigridSolver:
                 )
             self.smoothers.append(sm)
         self._fmg_jit = None
-        self._cg_jit = None
-        # pytree-parameterized solve path (one compile across Newton steps)
-        self._params = None
+        # Pytree-parameterized solve path (one compile across Newton steps).
+        # ALWAYS populated: the per-level merged coefficients are ~11x n_dofs
+        # each (125 quad points x 6 symmetric components per cell) and, as
+        # jit closure constants, get embedded into the HLO — 145 MB of
+        # StableHLO at 0.4M dofs, shipped to the (possibly remote) compiler
+        # on every solve program.  As pytree ARGUMENTS they cost nothing.
+        self._params = dict(
+            C_sp=[op.C for op in self.ops],
+            C_dp=[op.C for op in self.ops_dp],
+            inv_diag=list(self._inv_diag),
+            theta=[sm.theta for sm in self.smoothers],
+            delta=[sm.delta for sm in self.smoothers],
+            coarse_degree=jnp.asarray(self.smoothers[0].degree, jnp.int32),
+        )
         self._cg_param_jits = {}
         self._eig_jits = {}
         self._inv_diag_jits = {}
@@ -158,24 +171,28 @@ class GeneralMultigridSolver:
             upd = sm.step(upd, defect)
         return upd
 
-    def _fmg(self):
-        d0 = self.rhs[0].astype(self.v_dtype)
-        t = self.smoothers[0].vmult(d0)
-        t = self.smoothers[0].step(t, d0)
+    def _fmg(self, rhs, u_bc, params):
+        sm0 = self._smoother_at(0, params)
+        d0 = rhs[0].astype(self.v_dtype)
+        t = sm0.vmult(d0)
+        t = sm0.step(t, d0)
         sol = t.astype(self.f_dtype)
         for l in range(1, self.maxlevel + 1):
-            sol_bc = jnp.where(self.bmask[l - 1], self.u_bc[l - 1], sol)
+            sol_bc = jnp.where(self.bmask[l - 1], u_bc[l - 1], sol)
             sol = self.transfers_nobc[l].prolongate(sol_bc)
             sol = jnp.where(self.bmask[l], 0.0, sol)
-            res = self.ops_dp[l].vmult_residual(self.rhs[l], sol)
-            upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles)
+            res = self.ops_dp[l].vmult_residual(
+                rhs[l], sol,
+                C=None if params is None else params["C_dp"][l])
+            upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles,
+                               params)
             sol = sol + upd.astype(self.f_dtype)
         return sol
 
     def solve(self) -> jnp.ndarray:
         if self._fmg_jit is None:
             self._fmg_jit = jax.jit(self._fmg)
-        sol = self._fmg_jit()
+        sol = self._fmg_jit(self.rhs, self.u_bc, self._params)
         return jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
 
     def _precond(self, r, params=None):
@@ -186,29 +203,20 @@ class GeneralMultigridSolver:
     def solve_cg(self, rtol=1e-9, abs_tol=1e-16, max_iterations=1000, b=None):
         L = self.maxlevel
         b = self.rhs[L] if b is None else b
-        if self._params is not None:
-            # keyed on the stopping criteria: a later call with different
-            # tolerances must not silently reuse the first compile
-            key = (rtol, abs_tol, max_iterations)
-            if key not in self._cg_param_jits:
-                self._cg_param_jits[key] = jax.jit(
-                    lambda bb, params: cg_solve(
-                        lambda x: self.ops_dp[L].vmult(x, C=params["C_dp"][L]),
-                        bb,
-                        precond=lambda r: self._precond(r, params),
-                        max_iterations=max_iterations,
-                        abs_tol=abs_tol, rtol=rtol,
-                    )
+        # keyed on the stopping criteria: a later call with different
+        # tolerances must not silently reuse the first compile
+        key = (rtol, abs_tol, max_iterations)
+        if key not in self._cg_param_jits:
+            self._cg_param_jits[key] = jax.jit(
+                lambda bb, params: cg_solve(
+                    lambda x: self.ops_dp[L].vmult(x, C=params["C_dp"][L]),
+                    bb,
+                    precond=lambda r: self._precond(r, params),
+                    max_iterations=max_iterations,
+                    abs_tol=abs_tol, rtol=rtol,
                 )
-            res: CGResult = self._cg_param_jits[key](b, self._params)
-        else:
-            if self._cg_jit is None:
-                self._cg_jit = jax.jit(
-                    partial(cg_solve, self.ops_dp[L].vmult,
-                            precond=self._precond, max_iterations=max_iterations,
-                            abs_tol=abs_tol, rtol=rtol)
-                )
-            res = self._cg_jit(b)
+            )
+        res: CGResult = self._cg_param_jits[key](b, self._params)
         its = int(res.iterations)
         red = float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
         sol = jnp.where(self.bmask[L], self.u_bc[L], res.x)
@@ -299,8 +307,8 @@ class GeneralMultigridSolver:
                 theta=theta[l], delta=delta[l], degree=deg,
             ))
         self.smoothers = new_smoothers
-        self._cg_jit = None
-        self._fmg_jit = None
+        # _fmg_jit/_cg_param_jits stay valid: coefficients, diagonals and
+        # intervals are pytree ARGUMENTS of those programs, not constants
 
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
         u = jnp.where(self.bmask[level], self.u_bc[level], sol)
