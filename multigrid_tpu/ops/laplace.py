@@ -389,6 +389,105 @@ def _scatter_pair_host(a: np.ndarray, p: int) -> np.ndarray:
     return (np.pad(main, pad + [(0, 1)]) + np.pad(tail, pad + [(1, 0)]))
 
 
+def _scatter_cells_host(y: np.ndarray, p: int) -> np.ndarray:
+    """Per-cell values ``[cz, cy, cx, nz, ny, nx]`` additively merged into a
+    dense node block ``[cz*p+1, cy*p+1, cx*p+1]`` (numpy window scatter)."""
+    t = y.transpose(0, 3, 1, 4, 2, 5)       # [cz, nz, cy, ny, cx, nx]
+    t = _scatter_pair_host(t, p)            # [cz, nz, cy, ny, X]
+    t = np.moveaxis(t, 4, 2)                # [cz, nz, X, cy, ny]
+    t = _scatter_pair_host(t, p)            # [cz, nz, X, Y]
+    t = t.transpose(0, 1, 3, 2)             # [cz, nz, Y, X]
+    t = t.transpose(2, 3, 0, 1)             # [Y, X, cz, nz]
+    return np.moveaxis(_scatter_pair_host(t, p), 2, 0)  # [Z, Y, X]
+
+
+def compute_bc_slab_correction_host(grid: DofGrid, faces, coef=None):
+    """``-A u_bc`` restricted to its support, as disjoint node slabs.
+
+    The inhomogeneous-Dirichlet correction of the rhs only receives
+    contributions from boundary-adjacent cells (u_bc lives on the boundary
+    faces), so instead of running the dense volume assembly over a
+    mostly-zero grid (the O(volume) zero-shuffling cost ~37 s single-core
+    at the 135M flagship), this processes the six DISJOINT boundary cell
+    blocks (2 z-layers, 2 y-strips, 2 x-pencils — O(surface) work) and
+    accumulates into the six node slabs that tile the support: the exact
+    slab decomposition `MultigridSolver._rhs_separable_device` ships over
+    the device link.  Returns ``(slab_slices, slab_arrays)``; boundary rows
+    are NOT zeroed (the device build masks them).
+    Cf. /root/reference/common/laplace_operator.h:804-845 (compute_residual
+    builds the same lift; deal.II only touches constrained cells too).
+    """
+    assert grid.dim == 3
+    coef = coef if coef is not None else make_diag_coef(grid)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .laplace_dense import element_matrix
+
+    p = grid.degree
+    n = grid.basis.n
+    N = n ** 3
+    K_el = element_matrix(grid, coef)                  # [N, N]
+    ncz, ncy, ncx = grid.cells
+    assert min(ncz, ncy, ncx) >= 2, "slab decomposition needs >=2 cells/axis"
+    Z, Y, X = grid.shape
+    zi, yi = slice(n, Z - n), slice(n, Y - n)
+    slab_slices = [
+        (slice(0, n),), (slice(Z - n, Z),),
+        (zi, slice(0, n)), (zi, slice(Y - n, Y)),
+        (zi, yi, slice(0, n)), (zi, yi, slice(X - n, X)),
+    ]
+    slab_bounds = []
+    for sl in slab_slices:
+        sl = tuple(sl) + (slice(None),) * (3 - len(sl))
+        slab_bounds.append([s.indices(e)[:2] for s, e in zip(sl, (Z, Y, X))])
+    out = [np.zeros(tuple(b1 - b0 for b0, b1 in bb), np.float64)
+           for bb in slab_bounds]
+
+    blocks = [   # disjoint cell blocks covering every boundary-adjacent cell
+        ((0, 1), (0, ncy), (0, ncx)),
+        ((ncz - 1, ncz), (0, ncy), (0, ncx)),
+        ((1, ncz - 1), (0, 1), (0, ncx)),
+        ((1, ncz - 1), (ncy - 1, ncy), (0, ncx)),
+        ((1, ncz - 1), (1, ncy - 1), (0, 1)),
+        ((1, ncz - 1), (1, ncy - 1), (ncx - 1, ncx)),
+    ]
+    for blk in blocks:
+        if any(c1 <= c0 for c0, c1 in blk):
+            continue
+        lo = tuple(c0 * p for c0, _ in blk)
+        ext = tuple((c1 - c0) * p + 1 for c0, c1 in blk)
+        u = np.zeros(ext, np.float64)
+        i = 0
+        for d in range(3):
+            for side in (0, 1):
+                g_idx = 0 if side == 0 else grid.shape[d] - 1
+                if lo[d] <= g_idx < lo[d] + ext[d]:
+                    sel = [slice(l, l + e) for l, e in zip(lo, ext)]
+                    sel[d] = slice(0, 1)
+                    usel = [slice(None)] * 3
+                    usel[d] = slice(g_idx - lo[d], g_idx - lo[d] + 1)
+                    u[tuple(usel)] = faces[i][tuple(sel)]
+                i += 1
+        if not np.any(u):
+            continue
+        w = sliding_window_view(u, n, axis=0)[::p]
+        w = sliding_window_view(w, n, axis=1)[:, ::p]
+        w = sliding_window_view(w, n, axis=2)[:, :, ::p]
+        cells_shape = w.shape[:3]
+        y2 = -(np.ascontiguousarray(w).reshape(-1, N) @ K_el.T)
+        blockR = _scatter_cells_host(y2.reshape(cells_shape + (n, n, n)), p)
+        for bb, arr in zip(slab_bounds, out):
+            ov = [(max(l, b0), min(l + e, b1))
+                  for l, e, (b0, b1) in zip(lo, ext, bb)]
+            if any(o1 <= o0 for o0, o1 in ov):
+                continue
+            src = tuple(slice(o0 - l, o1 - l) for (o0, o1), l in zip(ov, lo))
+            dst = tuple(slice(o0 - b0, o1 - b0)
+                        for (o0, o1), (b0, _) in zip(ov, bb))
+            arr[dst] += blockR[src]
+    return slab_slices, out
+
+
 def compute_rhs_host(grid: DofGrid, rhs_fn, u_bc_np: np.ndarray,
                      coef: Optional[DiagCoef] = None,
                      z_slab_cells: int = 4) -> np.ndarray:
@@ -470,15 +569,8 @@ def compute_rhs_host(grid: DofGrid, rhs_fn, u_bc_np: np.ndarray,
                 y2[sel.reshape(-1)] -= wsel @ K_el.T
             else:
                 y2 -= np.ascontiguousarray(w).reshape(-1, N) @ K_el.T
-        y = y2.reshape(cz, ncy, ncx, n, n, n)
         # --- scatter-add the slab (pairs [cz,nz], [ncy,ny], [ncx,nx])
-        t = y.transpose(0, 3, 1, 4, 2, 5)       # [cz, nz, ncy, ny, ncx, nx]
-        t = _scatter_pair_host(t, p)            # [cz, nz, ncy, ny, X]
-        t = np.moveaxis(t, 4, 2)                # [cz, nz, X, ncy, ny]
-        t = _scatter_pair_host(t, p)            # [cz, nz, X, Y]
-        t = t.transpose(0, 1, 3, 2)             # [cz, nz, Y, X]
-        t = t.transpose(2, 3, 0, 1)             # [Y, X, cz, nz]
-        t = np.moveaxis(_scatter_pair_host(t, p), 2, 0)  # [cz*p+1, Y, X]
+        t = _scatter_cells_host(y2.reshape(cz, ncy, ncx, n, n, n), p)
         out[z0 * p : (z0 + cz) * p + 1] += t
     interior = ~np.asarray(grid.boundary_mask())
     return np.where(interior, out, 0.0)
