@@ -126,8 +126,22 @@ def estimate_eigenvalues(
     per-iteration dispatch is prohibitively slow over remote-TPU links);
     breakdown iterations are masked out and trimmed on the host.
     """
+    import os
+    import time
+
     run = jax.jit(lambda r: lanczos_body(vmult, precond, n_iterations, r))
-    alphas_d, betas_d, oks = run(rhs)
+    if os.environ.get("MGT_SETUP_TIMING"):
+        # split compile (trace+lower+backend compile) from the device run
+        # so setup-time hot spots attribute correctly (setup smoother[l])
+        t0 = time.perf_counter()
+        compiled = run.lower(rhs).compile()
+        t1 = time.perf_counter()
+        alphas_d, betas_d, oks = jax.block_until_ready(compiled(rhs))
+        t2 = time.perf_counter()
+        print(f"#   eig-estimate n={rhs.size}: compile {t1-t0:.2f} s, "
+              f"run {t2-t1:.2f} s", flush=True)
+    else:
+        alphas_d, betas_d, oks = run(rhs)
     return tridiag_extremes(alphas_d, betas_d, oks)
 
 
