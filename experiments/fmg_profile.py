@@ -1,0 +1,98 @@
+"""Decompose the flagship FMG wall time into per-level jitted pieces.
+
+The FMG solve is ONE device program (solvers/multigrid.MultigridSolver
+.solve), so driver-side timers cannot attribute its cost.  This probe
+times each constituent piece as its own donated-carry jit chained
+back-to-back (reps queued, one block — dispatch RTT amortized exactly like
+the solve loops), which bounds the pieces' standalone cost.  The pieces
+overlap less well than inside the fused program, so the sum is an UPPER
+bound on the in-program cost; large gaps between the sum and the measured
+FMG time indicate glue XLA schedules away, small pieces that blow up
+standalone indicate relayout overhead.
+
+Usage: python experiments/fmg_profile.py [size=128] [reps=5]
+(cf. the reference's per-level timing matrix,
+/root/reference/common/multigrid_solver.h:347-371)
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _timed(name, build_fn, x0, reps):
+    import jax
+
+    f = jax.jit(build_fn, donate_argnums=0)
+    x = f(x0)
+    jax.block_until_ready(x)  # warm/compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = f(x)
+    jax.block_until_ready(x)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:<42s} {dt*1e3:9.2f} ms")
+    del x
+    return dt
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from experiments.poisson_cube import (build_solver, resolve_dp_impl,
+                                          resolve_sp_impl)
+    from multigrid_tpu.mesh.brick import poisson_cube_mesh
+
+    solver = build_solver(poisson_cube_mesh(size), 4,
+                          sp_impl=resolve_sp_impl("auto"),
+                          dp_impl=resolve_dp_impl("auto"))
+    L = solver.maxlevel
+    n_dofs = solver.grids[L].n_dofs
+    print(f"# fmg decomposition at {n_dofs} dofs ({size}^3 cells), "
+          f"reps={reps}")
+
+    # whole solve first (the number the pieces should explain)
+    # scalar output + carry dependency: queued reps must not each hold a
+    # 1.08 GB solution buffer (HBM rule), and must still serialize
+    t_fmg = _timed("fmg solve (1 program)",
+                   lambda u: (solver._fmg(solver.rhs, solver.u_bc)[-1][0, 0]
+                              .astype(jnp.float32) + u),
+                   jnp.zeros((), jnp.float32), reps)
+
+    total = 0.0
+    for l in range(L, max(L - 3, 0), -1):
+        g = solver.grids[l]
+        sp0 = jnp.zeros(g.shape, solver.v_dtype)
+        dp0 = jnp.zeros(g.shape, solver.f_dtype)
+        # FMG runs n_cycles V-cycles at every level from l upward
+        t_v = _timed(f"v_cycle(L{l}, n={solver.n_cycles})",
+                     lambda d, _l=l: solver.v_cycle(
+                         _l, d, solver.n_cycles), sp0, reps)
+        t_r = _timed(f"dp residual(L{l})",
+                     lambda s, _l=l: solver.dp_ops[_l].vmult_residual(
+                         solver.rhs[_l], s), dp0, reps)
+        cp0 = jnp.zeros(solver.grids[l - 1].shape, solver.f_dtype)
+        t_p = _timed(f"dp prolongate+restrict roundtrip(L{l})",
+                     lambda c, _l=l: solver.transfers_nobc[_l].restrict(
+                         solver.transfers_nobc[_l].prolongate(c)), cp0, reps)
+        total += t_v + t_r + t_p
+        if l in getattr(solver, "_sp_win", {}):
+            opw, smw = solver._sp_win[l]
+            _timed(f"  windowed smoother vmult(L{l})",
+                   lambda d, _s=smw, _o=opw: _o.from_windowed(
+                       _s.vmult(_o.to_windowed(d))), sp0, reps)
+            _timed(f"  to/from_windowed relayout(L{l})",
+                   lambda d, _o=opw: _o.from_windowed(_o.to_windowed(d)),
+                   sp0, reps)
+    print(f"{'sum of pieces (3 finest levels)':<42s} {total*1e3:9.2f} ms"
+          f"   vs fmg {t_fmg*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
