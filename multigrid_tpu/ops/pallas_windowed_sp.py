@@ -48,7 +48,7 @@ _MAX_M_SP = 2         # pairs k+l <= 2: 6 block products, ~2^-24 truncation
 
 def window_perm_matrices(p: int, cx: int, X: int, G: int):
     """0/1 x-window permutation matrices (node->window [X, G] and
-    window->node [G, X]) as bf16 NUMPY constants for the MXU relayout.
+    window->node [G, X]) as f32 NUMPY constants for the MXU relayout.
     Kept numpy on purpose: XWindowMap memoizes them and the first call may
     happen inside a jit trace — a jnp array created there is a tracer and
     leaks into later traces (measured: solve_analyze after solve at 513^3);
@@ -61,26 +61,30 @@ def window_perm_matrices(p: int, cx: int, X: int, G: int):
     for nn in range(X - 1):
         Pu[(nn % p) * cx + nn // p, nn] = 1.0
     Pu[p * cx + cx - 1, X - 1] = 1.0
-    return Pw.astype(jnp.bfloat16), Pu.astype(jnp.bfloat16)
+    return Pw, Pu
 
 
 def perm_mm(a: jnp.ndarray, P: jnp.ndarray) -> jnp.ndarray:
-    """Exact f32 permutation matmul via a 3-limb bf16 split (8+8+8 bits
-    cover the 24-bit significand; round-to-nearest remainders are exact by
-    Sterbenz, and each output lane receives exactly one product per limb):
-    the lane relayout rides the MXU instead of XLA's padded-copy shifts
-    (the measured ~19 ms/plane glue at 513^3).  Bit-exact, pinned in
-    tests."""
+    """EXACT f32 permutation matmul: one dot_general at Precision.HIGHEST.
+    The lane relayout rides the MXU instead of XLA's padded-copy shifts
+    (the measured ~19 ms/plane glue at 513^3).
+
+    Exactness on TPU: HIGHEST decomposes each f32 operand into three bf16
+    limbs and accumulates all nine cross products in f32; with a 0/1
+    matrix every output receives exactly one input's limbs times 1.0,
+    whose f32 sum reconstructs the input bit-exactly (verified on v5e,
+    experiments/debug_dpwin.py).  Two earlier forms FAILED on hardware
+    while passing every CPU/interpret test: a DEFAULT-precision dot
+    silently quantizes to bf16 (1.4e-2 relayout dev — root cause of the
+    2026-08-18 flagship pair-CG cg_L2error 4.9e-4), and a hand-split
+    3-limb compensated form needed an optimization_barrier whose presence
+    re-triggered the known XLA fusion miscompile around the adjacent
+    Mosaic custom call.  One plain HIGHEST dot has neither failure mode.
+    """
     dims = (((a.ndim - 1,), (0,)), ((), ()))
-    y = None
-    r = a
-    for _ in range(3):
-        limb = r.astype(jnp.bfloat16)
-        r = r - limb.astype(jnp.float32)
-        t = jax.lax.dot_general(limb, P, dims,
-                                preferred_element_type=jnp.float32)
-        y = t if y is None else y + t
-    return y
+    return jax.lax.dot_general(a, P, dims,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
 
 
 class XWindowMap:

@@ -36,11 +36,21 @@ FOURTH_KIND = "fourth_kind"
 
 def eig_estimate_start_vector(shape, dtype, mask=None) -> jnp.ndarray:
     """deal.II's deterministic high-frequency start vector: global index
-    mod 11, mean subtracted."""
+    mod 11, mean subtracted.  Built ON DEVICE (iota % 11 − closed-form
+    mean): the host-materialized version shipped the full vector over the
+    device link — 540 MB ≈ 36 s of the flagship smoother setup."""
     n = int(np.prod(shape))
-    v = (np.arange(n) % 11).astype(np.float64)
-    v -= v.mean()
-    return jnp.asarray(v.reshape(shape), dtype)
+    # exact mean of (i % 11) over i < n, in f64 on the host
+    q, r = divmod(n, 11)
+    mean = (q * 55.0 + r * (r - 1) / 2.0) / n
+
+    @jax.jit
+    def build():
+        i = jax.lax.iota(jnp.int32, n)
+        v = (i % 11).astype(dtype) - jnp.asarray(mean, dtype)
+        return v.reshape(shape)
+
+    return build()
 
 
 def lanczos_body(

@@ -456,13 +456,27 @@ class MultigridSolver:
             m = (fd * qw[None, :]) @ S                       # [nc, n]
             vs.append(_scatter_pair_host(m, g.degree))       # [N_d]
         vs[0] = vs[0] * g.jxw_scalar
+        import os as _os
+        import time as _time
+
+        _timing = _os.environ.get("MGT_SETUP_TIMING")
+        _t = _time.perf_counter()
         slabs, slices = [], []
         if any(np.any(f) for f in faces_np):
             # O(surface) host assembly over the 6 boundary cell blocks —
             # the dense O(volume) path cost 37 s single-core at 135M dofs
             slices, arrs = compute_bc_slab_correction_host(
                 g, faces_np, self.ops_dp[level].coef)
+            if _timing:
+                print(f"#   rhs[{level}] host correction: "
+                      f"{_time.perf_counter()-_t:.2f} s", flush=True)
+                _t = _time.perf_counter()
             slabs = [jnp.asarray(a, self.f_dtype) for a in arrs]
+            jax.block_until_ready(slabs)
+            if _timing:
+                print(f"#   rhs[{level}] slab transfer: "
+                      f"{_time.perf_counter()-_t:.2f} s", flush=True)
+                _t = _time.perf_counter()
 
         def build(vz, vy, vx, slab_args):
             r = vz[:, None, None] * (vy[None, :, None] * vx[None, None, :])
@@ -470,9 +484,14 @@ class MultigridSolver:
                 r = r.at[sl].add(a)
             return jnp.where(self.bmask[level], 0.0, r)
 
-        return jax.jit(build)(
+        out = jax.jit(build)(
             jnp.asarray(vs[0], self.f_dtype), jnp.asarray(vs[1], self.f_dtype),
             jnp.asarray(vs[2], self.f_dtype), slabs)
+        if _timing:
+            jax.block_until_ready(out)
+            print(f"#   rhs[{level}] build jit: "
+                  f"{_time.perf_counter()-_t:.2f} s", flush=True)
+        return out
 
     def exact_on_quad(self, level: int) -> jnp.ndarray:
         """Analytic solution at the quadrature points of one level (lazily
