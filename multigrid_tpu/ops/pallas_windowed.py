@@ -55,17 +55,27 @@ class PallasWindowedOzaki:
     """dp A·u on windowed f32-pair vectors; p=4 3-D structured bricks."""
 
     def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
-                 cy_chunk: int = 32, interpret: bool = False):
+                 cy_chunk: int = 32, interpret: bool = False,
+                 pad_to: int | None = None):
         assert grid.dim == 3 and grid.degree == 4
         self.grid = grid
         self.p, self.n, self.N = 4, 5, 125
         self.cz, self.cy, self.cx = grid.cells
         self.Z, self.Y, self.X = grid.shape
         self.Yp = -(-self.Y // 8) * 8
-        self.G = self.n * self.cx
+        # zero-padded window geometry for grids whose cx is not a multiple
+        # of the native 128 lane tile (see PallasWindowedSP.__init__ —
+        # same scheme, same invariants)
+        if pad_to is not None:
+            assert pad_to >= self.cx
+            self.cxp = pad_to
+        elif interpret:
+            self.cxp = self.cx
+        else:
+            self.cxp = -(-self.cx // 128) * 128
+        self.Xp = self.p * self.cxp + 1
+        self.G = self.n * self.cxp
         self.interpret = interpret
-        if not interpret:
-            assert self.cx % 128 == 0, "lane tiling needs cx % 128 == 0"
         self.cy_b = min(cy_chunk, self.cy)
         while self.cy % self.cy_b:
             self.cy_b -= 1
@@ -81,17 +91,6 @@ class PallasWindowedOzaki:
             self.off.append(self.off[-1] + (m + 1) * N)
         self.Kstack = jnp.asarray(np.vstack(blocks), jnp.bfloat16)
         self._interior_axes = interior_axes_jnp(grid)
-        # windowed boundary mask factors: rows (y), planes (z), lanes (x)
-        # numpy (not jnp): the kernel bakes it as a literal — a traced
-        # constant would trip the pallas captured-consts check
-        self._wmask_x = self._x_lane_mask()
-
-    def _x_lane_mask(self) -> np.ndarray:
-        """[G] 1/0 mask zeroing windowed slots that hold x-boundary nodes."""
-        m = np.ones(self.G, np.float32)
-        m[0 * self.cx + 0] = 0.0                       # j=0, i=0   -> x = 0
-        m[self.p * self.cx + self.cx - 1] = 0.0        # j=p, i=-1  -> x = X-1
-        return m
 
     @property
     def interior(self):
@@ -106,14 +105,18 @@ class PallasWindowedOzaki:
         if getattr(self, "_xmap", None) is None:
             from .pallas_windowed_sp import XWindowMap
 
-            self._xmap = XWindowMap(self.p, self.cx, self.X, self.G)
+            self._xmap = XWindowMap(self.p, self.cxp, self.Xp, self.G)
         return self._xmap
+
+    def _pad_x(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, self.Xp - self.X)]
+        return jnp.pad(x, pad) if self.Xp != self.X else x
 
     def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
         """f64 node grid [Z, Y, X] -> windowed pair [Z, 2, Yp, G]
         (boundary values preserved; solver-boundary use)."""
         Y, Yp = self.Y, self.Yp
-        xh, xl = split_f64(x)
+        xh, xl = split_f64(self._pad_x(x))
         xm = self.xmap
 
         def win(a):
@@ -127,14 +130,15 @@ class PallasWindowedOzaki:
         Y = self.Y
         xm = self.xmap
         return join_f64(xm.unwin(w[:, 0, :Y], self.interpret),
-                        xm.unwin(w[:, 1, :Y], self.interpret))
+                        xm.unwin(w[:, 1, :Y], self.interpret))[..., : self.X]
 
     def dup_weights(self) -> jnp.ndarray:
         """[G] weights for inner products on windowed vectors: j=p slots are
-        duplicates of j=0 shifted (weight 0) except the global last node."""
+        duplicates of j=0 shifted (weight 0) except the global last node
+        (pad slots are identically zero in every dotted vector)."""
         w = np.ones(self.G, np.float32)
-        w[self.p * self.cx :] = 0.0
-        w[self.p * self.cx + self.cx - 1] = 1.0
+        w[self.p * self.cxp :] = 0.0
+        w[self.p * self.cxp + self.cxp - 1] = 1.0
         return jnp.asarray(w)
 
     # -------------------------------------------------------------- kernel
@@ -143,7 +147,7 @@ class PallasWindowedOzaki:
         zi = pl.program_id(0)
         yj = pl.program_id(1)
         p, n, N = self.p, self.n, self.N
-        cy_b, cx, G = self.cy_b, self.cx, self.G
+        cy_b, cx, G = self.cy_b, self.cxp, self.G
         R = cy_b * p + 1
         F = cy_b * cx
 
@@ -279,7 +283,12 @@ class PallasWindowedOzaki:
         # i=cx-1 -> x=X-1); built from iota (array constants can't be
         # captured by a pallas kernel)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (RW, G), 1)
-        xm = jnp.where((lane_ids == 0) | (lane_ids == G - 1), _f0, _f1)
+        # node-id arithmetic mask (see pallas_windowed_sp._matvec_planes):
+        # zeroes x boundaries + every pad slot; == lane 0 | G-1 when
+        # cxp == cx
+        node = p * (lane_ids % np.int32(cx)) + lane_ids // np.int32(cx)
+        xm = jnp.where((node == 0) | (node >= np.int32(self.X - 1)),
+                       _f0, _f1)
         p0h = p0h * (zmask0 * ymask * xm)
         p0l = p0l * (zmask0 * ymask * xm)
         bh = jnp.concatenate([p0h[None], wh[1:p] * (ymask * xm)[None]], axis=0)
@@ -311,8 +320,8 @@ class PallasWindowedOzaki:
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((n, 2, self.Yp, G), jnp.float32),
-                pltpu.VMEM((n, n, self.cx), jnp.float32),
-                pltpu.VMEM((n, n, self.cx), jnp.float32),
+                pltpu.VMEM((n, n, self.cxp), jnp.float32),
+                pltpu.VMEM((n, n, self.cxp), jnp.float32),
                 pltpu.VMEM((self.cy * p, G), jnp.float32),
                 pltpu.VMEM((self.cy * p, G), jnp.float32),
                 pltpu.SemaphoreType.DMA,

@@ -131,22 +131,32 @@ class PallasWindowedSP:
     """sp A·u on windowed f32 vectors; p=4 3-D structured bricks."""
 
     def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
-                 cy_chunk: int = 32, interpret: bool = False):
+                 cy_chunk: int = 32, interpret: bool = False,
+                 pad_to: int | None = None):
         assert grid.dim == 3 and grid.degree == 4
         self.grid = grid
         self.p, self.n, self.N = 4, 5, 125
         self.cz, self.cy, self.cx = grid.cells
         self.Z, self.Y, self.X = grid.shape
         self.Yp = -(-self.Y // 8) * 8
-        self.G = self.n * self.cx
+        # Lane padding: the kernel's internal lane split needs the window
+        # count to be a multiple of the native 128 lane tile (Mosaic cannot
+        # lower the G -> (n, cx) cast otherwise — measured on v5e).  Grids
+        # with other cx run on a ZERO-PADDED window geometry cxp =
+        # ceil(cx/128)*128: pad cells carry zeros end to end (zero input ->
+        # zero element matvec; the boundary mask zeroes the one lane where
+        # a real value leaks into the pad region, see _matvec_planes).
+        # Interpret mode keeps cxp = cx unless a pad is requested (tests).
+        if pad_to is not None:
+            assert pad_to >= self.cx
+            self.cxp = pad_to
+        elif interpret:
+            self.cxp = self.cx
+        else:
+            self.cxp = -(-self.cx // 128) * 128
+        self.Xp = self.p * self.cxp + 1
+        self.G = self.n * self.cxp
         self.interpret = interpret
-        if not interpret:
-            # 128 = native lane tile; smaller cx (G = 5*cx lanes, padded
-            # tiles) is structurally supported but relies on Mosaic's
-            # relayouts — the solver gates engagement via MGT_SP_WIN_CX64
-            # / MGT_SP_WIN_ANY_CX until measured per size on hardware
-            # (ladder rows run cx = 40..112)
-            assert self.cx % 8 == 0, "lane tiling needs cx % 8 == 0"
         self.cy_b = min(cy_chunk, self.cy)
         while self.cy % self.cy_b:
             self.cy_b -= 1
@@ -164,37 +174,47 @@ class PallasWindowedSP:
         self._interior_axes = interior_axes_jnp(grid)
         self._zy = None                                # install_diag_factors
         self._fx = None
-        self.xmap = XWindowMap(self.p, self.cx, self.X, self.G)
+        self.xmap = XWindowMap(self.p, self.cxp, self.Xp, self.G)
 
     @property
     def interior(self):
         return bcast_and(self._interior_axes)
 
     # -------------------------------------------------- layout conversions
-    def window_x_line(self, f: np.ndarray) -> np.ndarray:
+    def window_x_line(self, f: np.ndarray, pad_value: float = 1.0) -> np.ndarray:
         """Host relayout of a 1-D x-axis factor [X] into window lanes [G]
-        (``out[j*cx+i] = f[p*i+j]``; used for separable diagonals/masks)."""
-        p, cx, G = self.p, self.cx, self.G
-        out = np.empty(G, f.dtype)
+        (``out[j*cxp+i] = f[p*i+j]``; used for separable diagonals/masks).
+        Pad lanes get ``pad_value`` (1.0 keeps in-kernel divisions finite;
+        the masked pad slots never reach real outputs)."""
+        p, cx, G = self.p, self.cxp, self.G
+        fp = np.pad(np.asarray(f), (0, self.Xp - self.X),
+                    constant_values=pad_value)
+        out = np.empty(G, fp.dtype)
         for j in range(p + 1):
-            idx = np.minimum(p * np.arange(cx) + j, self.X - 1)
-            out[j * cx:(j + 1) * cx] = f[idx]
+            idx = np.minimum(p * np.arange(cx) + j, self.Xp - 1)
+            out[j * cx:(j + 1) * cx] = fp[idx]
         return out
+
+    def _pad_x(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, self.Xp - self.X)]
+        return jnp.pad(x, pad) if self.Xp != self.X else x
 
     def to_windowed(self, x: jnp.ndarray) -> jnp.ndarray:
         """f32 node grid [Z, Y, X] -> windowed [Z, Yp, G]."""
-        w = self.xmap.win(x.astype(jnp.float32), self.interpret)
+        w = self.xmap.win(self._pad_x(x.astype(jnp.float32)), self.interpret)
         return jnp.pad(w, ((0, 0), (0, self.Yp - self.Y), (0, 0)))
 
     def from_windowed(self, w: jnp.ndarray) -> jnp.ndarray:
         """Windowed [Z, Yp, G] -> f32 node grid [Z, Y, X]."""
-        return self.xmap.unwin(w[:, : self.Y], self.interpret)
+        return self.xmap.unwin(w[:, : self.Y], self.interpret)[..., : self.X]
 
     def dup_weights(self) -> jnp.ndarray:
-        """[G] weights zeroing duplicated x-window slots in inner products."""
+        """[G] weights zeroing duplicated x-window slots in inner products
+        (pad slots are identically zero in every dotted vector, so only
+        the j=p duplicate block needs zero weights)."""
         w = np.ones(self.G, np.float32)
-        w[self.p * self.cx:] = 0.0
-        w[self.p * self.cx + self.cx - 1] = 1.0
+        w[self.p * self.cxp:] = 0.0
+        w[self.p * self.cxp + self.cxp - 1] = 1.0
         return jnp.asarray(w)
 
     # -------------------------------------------------------------- kernel
@@ -205,7 +225,7 @@ class PallasWindowedSP:
         zi = pl.program_id(0)
         yj = pl.program_id(1)
         p, n, N = self.p, self.n, self.N
-        cy_b, cx, G = self.cy_b, self.cx, self.G
+        cy_b, cx, G = self.cy_b, self.cxp, self.G
         R = cy_b * p + 1
         F = cy_b * cx
 
@@ -290,7 +310,15 @@ class PallasWindowedSP:
         ymask = jnp.where((yj == 0) & (row_ids == 0), _f0, _f1)
         zmask0 = jnp.where(zi == 0, _f0, _f1)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (RW, G), 1)
-        xm = jnp.where((lane_ids == 0) | (lane_ids == G - 1), _f0, _f1)
+        # node-id arithmetic mask (j-major lane = j*cxp + i holds node
+        # p*i + j): zero the global x boundaries AND every pad slot
+        # (node >= X-1 covers the real last node, its duplicates — incl.
+        # the pad-window head that receives the real last cell's tail
+        # roll — and all pad cells).  Reduces to the unpadded
+        # lane==0 | lane==G-1 mask when cxp == cx.
+        node = p * (lane_ids % np.int32(cx)) + lane_ids // np.int32(cx)
+        xm = jnp.where((node == 0) | (node >= np.int32(self.X - 1)),
+                       _f0, _f1)
         p0 = p0 * (zmask0 * ymask * xm)
         return jnp.concatenate([p0[None], wh[1:p] * (ymask * xm)[None]],
                                axis=0)                 # [p, RW, G]
@@ -358,7 +386,7 @@ class PallasWindowedSP:
                                            jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((self.n, self.Yp, G), jnp.float32),
-                pltpu.VMEM((self.n, self.n, self.cx), jnp.float32),
+                pltpu.VMEM((self.n, self.n, self.cxp), jnp.float32),
                 pltpu.VMEM((self.cy * p, G), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],

@@ -37,6 +37,24 @@ def _eval_on(coords, fn):
     return fn(coords)
 
 
+def _win_cx_ok(cx: int) -> bool:
+    """Eligibility of the fused windowed Mosaic kernels for a level with
+    ``cx`` cells along x.  Exact multiples of the 128 lane tile always
+    qualify; other widths run on a zero-padded window geometry
+    (ops/pallas_windowed_sp.PallasWindowedSP pad docs) when the padding
+    waste stays under 1.6x — below that the ~3x fused-kernel advantage
+    over the XLA paths still nets out (cx >= 80 for one tile).
+    ``MGT_WIN_PAD=0`` restricts engagement to exact multiples."""
+    import os
+
+    if cx % 128 == 0:
+        return True
+    if os.environ.get("MGT_WIN_PAD", "1") in ("", "0"):
+        return False
+    cxp = -(-cx // 128) * 128
+    return cxp / cx <= 1.6
+
+
 def _bc_faces_host(g: DofGrid, exact_fn) -> list[np.ndarray]:
     """Analytic boundary values as 2*dim face slabs (axis d kept with
     extent 1), ordered [(d, side) for d for side in (0, 1)] — the compact
@@ -178,7 +196,7 @@ class MultigridSolver:
 
             def _dp(g):
                 if (g.dim == 3 and g.degree == 4
-                        and (interpret or (g.cells[2] % 128 == 0
+                        and (interpret or (_win_cx_ok(g.cells[2])
                                            and g.n_dofs > chunk_threshold))):
                     return WindowedHybridOzaki(
                         g, make_diag_coef(g, coefficient), interpret=interpret)
@@ -354,17 +372,11 @@ class MultigridSolver:
                                                   windowed_inv_diag_factory)
 
             interpret = jax.default_backend() != "tpu"
-            # MGT_SP_WIN_CX64=1 extends the kernel to cx % 64 == 0 levels;
-            # MGT_SP_WIN_ANY_CX=1 to every cx % 8 == 0 level (ladder rows
-            # run cx = 40..112).  Mosaic padded-tile lanes — measure
-            # before making either the default.
-            cxq = (8 if _os.environ.get("MGT_SP_WIN_ANY_CX")
-                   else 64 if _os.environ.get("MGT_SP_WIN_CX64") else 128)
             for l in range(self.minlevel + 1, L):
                 g = self.grids[l]
                 if not (g.dim == 3 and g.degree == 4
                         and isinstance(self.ops[l].coef, DiagCoef)
-                        and (interpret or (g.cells[2] % cxq == 0
+                        and (interpret or (_win_cx_ok(g.cells[2])
                                            and g.n_dofs > chunk_threshold))):
                     continue
                 opw = PallasWindowedSP(g, make_diag_coef(g, coefficient),
