@@ -69,7 +69,9 @@ def main():
     if args:
         shapes = [tuple(args[i:i + 3]) for i in range(0, len(args), 3)]
     else:
-        shapes = [(4, 4, 128), (4, 128, 128), (64, 4, 128), (16, 16, 128)]
+        shapes = [(4, 4, 128), (4, 128, 128), (64, 4, 128), (16, 16, 128),
+                  # zero-padded window geometry (cxp = 128 > cx)
+                  (8, 8, 80), (4, 8, 96), (4, 4, 112)]
     ok = all([check(s) for s in shapes])
     print("ALL OK" if ok else "MISMATCH FOUND")
 
