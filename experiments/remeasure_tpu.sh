@@ -39,10 +39,10 @@ BENCH_METRIC=matvec BENCH_DP_IMPL=ozaki_chunked BENCH_SP_IMPL=dense_chunked \
     phase mv_xla 1800 python bench.py
 
 # 3b. FMG knob A/Bs: node-grid dp entries via the fused kernel; banded
-#     MXU-matmul transfers.  (The MGT_SP_WIN_ANY_CX / _CX64 knobs are
-#     dead on hardware: Mosaic cannot lower the kernel's lane-split
-#     reshape below cx=128 — measured 2026-08-18, "infer-vector-layout:
-#     unsupported shape cast (5x129x160)->(5x129x5x32)".)
+#     MXU-matmul transfers.  (Sub-128 cx now runs via the zero-padded
+#     window geometry — MGT_WIN_PAD — instead of the removed
+#     MGT_SP_WIN_ANY_CX / _CX64 knobs, whose sub-128 lane split Mosaic
+#     cannot lower.)
 MGT_DP_NODE_VIA_WIN=1 phase bench_dpwin 2400 python bench.py
 # MatmulTransfer became the TPU default after the 2026-08-18 A/B
 # (0.919 s vs 1.050 s flagship FMG); this measures the old flavor
