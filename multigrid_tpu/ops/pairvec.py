@@ -111,7 +111,7 @@ def pair_from_f32(op, z: jnp.ndarray) -> jnp.ndarray:
     output injection; ``op`` is a PallasWindowedOzaki for geometry).  The
     lane relayout delegates to the shared XWindowMap (MXU permutation
     matmul on hardware)."""
-    w = op.xmap.win(z, op.interpret)
+    w = op.xmap.win(op._pad_x(z), op.interpret)
     w = jnp.pad(w, ((0, 0), (0, op.Yp - op.Y), (0, 0)))
     return jnp.stack([w, jnp.zeros_like(w)], axis=1)
 
@@ -119,4 +119,4 @@ def pair_from_f32(op, z: jnp.ndarray) -> jnp.ndarray:
 def pair_hi_node(op, a: jnp.ndarray) -> jnp.ndarray:
     """Windowed pair -> f32 node grid of the hi plane (preconditioner
     input extraction)."""
-    return op.xmap.unwin(a[:, 0, : op.Y], op.interpret)
+    return op.xmap.unwin(a[:, 0, : op.Y], op.interpret)[..., : op.X]

@@ -124,10 +124,16 @@ def test_padded_pair_cg_matches_node_cg():
     rng = np.random.default_rng(7)
     b = jnp.asarray(rng.standard_normal(grid.shape))
     b = jnp.where(jnp.asarray(~np.asarray(grid.boundary_mask())), b, 0.0)
-    res_ref = cg_solve(ref.vmult, b, precond=lambda r: r,
+    # node-SHAPED preconditioner: multiplies by a [Z, Y, X] array, so a
+    # pair_hi_node/pair_from_f32 that leaks the padded X extent crashes
+    inv_diag = jnp.asarray(LaplaceOperator(
+        grid, jnp.float64, make_diag_coef(grid)).inverse_diagonal())
+    res_ref = cg_solve(ref.vmult, b,
+                       precond=lambda r: r * inv_diag.astype(r.dtype),
                        max_iterations=200, rtol=1e-10)
-    res = cg_solve_stepped_pair(op, b, precond_f32=lambda r: r,
-                                max_iterations=200, rtol=1e-10)
+    res = cg_solve_stepped_pair(
+        op, b, precond_f32=lambda r: r * inv_diag.astype(r.dtype),
+        max_iterations=200, rtol=1e-10)
     assert abs(int(res.iterations) - int(res_ref.iterations)) <= 1
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_ref.x),
                                atol=1e-9 * float(jnp.abs(res_ref.x).max()))
