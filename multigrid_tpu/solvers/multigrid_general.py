@@ -85,32 +85,47 @@ class GeneralMultigridSolver:
             fq = np.broadcast_to(np.asarray(rhs_fn(qc), np.float64),
                                  g.jxw.shape)
             shape = (g.n_cells,) + (g.n,) * g.dim
-            self.rhs.append(
-                jax.jit(self.ops_dp[l].compute_rhs)(
-                    jnp.asarray(fq.reshape(shape), f_dtype), ubc
-                )
-            )
+            # EAGER on purpose: jitting this setup-only assembly embeds the
+            # per-quad-point merged coefficient (C, ~300 MB at 3M dofs) and
+            # jxw into the compile payload — the remote compile server
+            # rejects it (HTTP 413, measured on the shell ladder cycle 9).
+            # Eager ops ship device-array operands, not constants.
+            self.rhs.append(self.ops_dp[l].compute_rhs(
+                jnp.asarray(fq.reshape(shape), f_dtype), ubc))
             eq = np.broadcast_to(np.asarray(exact_fn(qc), np.float64), g.jxw.shape)
             self.exact_quad.append(jnp.asarray(eq.reshape(shape), f_dtype))
+
+        # Every setup-time jit below passes C and inv_diag as ARGUMENTS —
+        # as closure constants the per-quad-point coefficients are ~300 MB
+        # of compile payload at 3M dofs and the remote compile server
+        # rejects the program (HTTP 413, measured on the shell ladder).
+        self._cg_param_jits = {}
+        self._eig_jits = {}
+        self._inv_diag_jits = {}
+        from .chebyshev import (eig_estimate_start_vector,
+                                interval_from_spectrum, tridiag_extremes)
 
         self.smoothers = []
         self._inv_diag = []
         for l in range(L):
-            inv_diag = jax.jit(self.ops[l].inverse_diagonal)()
+            inv_diag = self._inv_diag_jit(l)(self.ops[l].C)
             self._inv_diag.append(inv_diag)
+            rhs0 = eig_estimate_start_vector((self.grids[l].n_dofs,), v_dtype)
+            a_, b_, o_ = self._eig_jit(l)(rhs0, self.ops[l].C, inv_diag)
+            max_eig, min_eig = tridiag_extremes(a_, b_, o_)
             if l > self.minlevel:
-                sm = Chebyshev.create(
-                    self.ops[l].vmult, inv_diag, smoothing_range=20.0,
-                    degree=n_pre, eig_cg_n_iterations=15,
-                    kind=chebyshev_kind,
-                )
+                kind = chebyshev_kind
+                theta, delta, n_apps = interval_from_spectrum(
+                    max_eig, min_eig, 20.0, n_pre, kind)
             else:
-                sm = Chebyshev.create(
-                    self.ops[l].vmult, inv_diag, smoothing_range=1e-3,
-                    degree=None, eig_cg_n_iterations=self.grids[l].n_dofs,
-                    kind=FIRST_KIND,
-                )
-            self.smoothers.append(sm)
+                kind = FIRST_KIND
+                theta, delta, n_apps = interval_from_spectrum(
+                    max_eig, min_eig, 1e-3, None, kind)
+            self.smoothers.append(Chebyshev(
+                vmult_op=self.ops[l].vmult,
+                precond=lambda r, _d=inv_diag: _d * r,
+                theta=theta, delta=delta, degree=n_apps,
+                max_eig=max_eig, min_eig=min_eig, kind=kind))
         self._fmg_jit = None
         # Pytree-parameterized solve path (one compile across Newton steps).
         # ALWAYS populated: the per-level merged coefficients are ~11x n_dofs
@@ -126,9 +141,6 @@ class GeneralMultigridSolver:
             delta=[sm.delta for sm in self.smoothers],
             coarse_degree=jnp.asarray(self.smoothers[0].degree, jnp.int32),
         )
-        self._cg_param_jits = {}
-        self._eig_jits = {}
-        self._inv_diag_jits = {}
 
     # ---------------------------------------------------------------- core
     def _smoother_at(self, level: int, params=None):
@@ -327,23 +339,32 @@ class GeneralMultigridSolver:
                 self._timed_jits[key] = jax.jit(fn)
             return self._timed_jits[key]
 
-        sm = self.smoothers[level]
+        # coefficients/diagonals/intervals ride the params pytree as jit
+        # ARGUMENTS here too (closure constants = the HTTP 413 payload)
+        P = self._params
         if level == self.minlevel:
-            return timings.coarse(_jit_of((level, "coarse"), sm.vmult), defect)
+            return timings.coarse(
+                _jit_of((level, "coarse"),
+                        lambda d, prm, _l=level: self._smoother_at(
+                            _l, prm).vmult(d)), defect, P)
         upd = None
+        smv = _jit_of((level, "smv"),
+                      lambda d, prm, _l=level: self._smoother_at(
+                          _l, prm).vmult(d))
+        sstep = _jit_of((level, "sstep"),
+                        lambda u, d, prm, _l=level: self._smoother_at(
+                            _l, prm).step(u, d))
         for _ in range(n_cyc):
             if upd is None:
-                upd = timings.timed(
-                    level, "smoother", _jit_of((level, "smv"), sm.vmult),
-                    defect)
+                upd = timings.timed(level, "smoother", smv, defect, P)
             else:
-                upd = timings.timed(
-                    level, "smoother", _jit_of((level, "sstep"), sm.step),
-                    upd, defect)
+                upd = timings.timed(level, "smoother", sstep, upd, defect, P)
             t = timings.timed(
                 level, "mg_mv",
-                _jit_of((level, "resid"), self.ops[level].vmult_residual),
-                defect, upd)
+                _jit_of((level, "resid"),
+                        lambda d, u, prm, _l=level: self.ops[_l].vmult_residual(
+                            d, u, C=prm["C_sp"][_l])),
+                defect, upd, P)
             dc = timings.timed(
                 level, "restrict",
                 _jit_of((level, "restrict"), self.transfers[level].restrict),
@@ -354,7 +375,5 @@ class GeneralMultigridSolver:
                 _jit_of((level, "prolong"), self.transfers[level].prolongate),
                 corr)
             upd = upd + pro
-            upd = timings.timed(
-                level, "smoother", _jit_of((level, "sstep"), sm.step),
-                upd, defect)
+            upd = timings.timed(level, "smoother", sstep, upd, defect, P)
         return upd
