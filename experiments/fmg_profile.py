@@ -21,18 +21,22 @@ import time
 sys.path.insert(0, ".")
 
 
-def _timed(name, build_fn, x0, reps):
+def _timed(name, build_fn, x0, reps, extra=()):
+    """Time ``build_fn(carry, *extra)`` as a donated-carry chain.  ``extra``
+    operands (e.g. the solver's rhs/u_bc lists) MUST ride as jit arguments:
+    as closure constants they embed into the compile payload (1.2 GB of
+    rhs at the flagship hung the remote compile server)."""
     import jax
 
     f = jax.jit(build_fn, donate_argnums=0)
-    x = f(x0)
+    x = f(x0, *extra)
     jax.block_until_ready(x)  # warm/compile
     t0 = time.perf_counter()
     for _ in range(reps):
-        x = f(x)
+        x = f(x, *extra)
     jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:<42s} {dt*1e3:9.2f} ms")
+    print(f"{name:<42s} {dt*1e3:9.2f} ms", flush=True)
     del x
     return dt
 
@@ -61,9 +65,10 @@ def main():
     # scalar output + carry dependency: queued reps must not each hold a
     # 1.08 GB solution buffer (HBM rule), and must still serialize
     t_fmg = _timed("fmg solve (1 program)",
-                   lambda u: (solver._fmg(solver.rhs, solver.u_bc)[-1][0, 0]
-                              .astype(jnp.float32) + u),
-                   jnp.zeros((), jnp.float32), reps)
+                   lambda u, rhs, ubc: (solver._fmg(rhs, ubc)[-1][0, 0]
+                                        .astype(jnp.float32) + u),
+                   jnp.zeros((), jnp.float32), reps,
+                   extra=(solver.rhs, solver.u_bc))
 
     total = 0.0
     for l in range(L, max(L - 3, 0), -1):
@@ -75,8 +80,8 @@ def main():
                      lambda d, _l=l: solver.v_cycle(
                          _l, d, solver.n_cycles), sp0, reps)
         t_r = _timed(f"dp residual(L{l})",
-                     lambda s, _l=l: solver.dp_ops[_l].vmult_residual(
-                         solver.rhs[_l], s), dp0, reps)
+                     lambda s, b, _l=l: solver.dp_ops[_l].vmult_residual(
+                         b, s), dp0, reps, extra=(solver.rhs[l],))
         cp0 = jnp.zeros(solver.grids[l - 1].shape, solver.f_dtype)
         t_p = _timed(f"dp prolongate+restrict roundtrip(L{l})",
                      lambda c, _l=l: solver.transfers_nobc[_l].restrict(
