@@ -490,18 +490,18 @@ class MultigridSolver:
                       f"{_time.perf_counter()-_t:.2f} s", flush=True)
                 _t = _time.perf_counter()
 
-        def build(vz, vy, vx, slab_args):
-            r = vz[:, None, None] * (vy[None, :, None] * vx[None, None, :])
-            for sl, a in zip(slices, slab_args):
-                r = r.at[sl].add(a)
-            return jnp.where(self.bmask[level], 0.0, r)
-
-        out = jax.jit(build)(
-            jnp.asarray(vs[0], self.f_dtype), jnp.asarray(vs[1], self.f_dtype),
-            jnp.asarray(vs[2], self.f_dtype), slabs)
+        # EAGER: the jitted form of this 8-op build recompiled every run at
+        # level 6 (~21 s/run, persistent-cache miss of unknown cause)
+        # while level 7 cached — eager ops have no compile payload at all
+        r = (jnp.asarray(vs[0], self.f_dtype)[:, None, None]
+             * (jnp.asarray(vs[1], self.f_dtype)[None, :, None]
+                * jnp.asarray(vs[2], self.f_dtype)[None, None, :]))
+        for sl, a in zip(slices, slabs):
+            r = r.at[sl].add(a)
+        out = jnp.where(self.bmask[level], 0.0, r)
         if _timing:
             jax.block_until_ready(out)
-            print(f"#   rhs[{level}] build jit: "
+            print(f"#   rhs[{level}] build: "
                   f"{_time.perf_counter()-_t:.2f} s", flush=True)
         return out
 
