@@ -64,8 +64,12 @@ def main():
     # whole solve first (the number the pieces should explain)
     # scalar output + carry dependency: queued reps must not each hold a
     # 1.08 GB solution buffer (HBM rule), and must still serialize
+    # NOTE [0, 0, 0]: the probe's carry must stay a SCALAR — an earlier
+    # [0, 0] version returned a length-X row, so the carry changed shape
+    # after the warm-up call and the first timed rep silently recompiled
+    # the entire flagship FMG (~215 s burned into a 5-rep average).
     t_fmg = _timed("fmg solve (1 program)",
-                   lambda u, rhs, ubc: (solver._fmg(rhs, ubc)[-1][0, 0]
+                   lambda u, rhs, ubc: (solver._fmg(rhs, ubc)[-1][0, 0, 0]
                                         .astype(jnp.float32) + u),
                    jnp.zeros((), jnp.float32), reps,
                    extra=(solver.rhs, solver.u_bc))

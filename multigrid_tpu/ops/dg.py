@@ -145,12 +145,16 @@ class DGLaplace:
         return u
 
     def _apply(self, u, M, d):
-        axis = self.dim + d
-        nd = u.ndim
+        return self._apply_ax(u, M, self.dim + d)
+
+    def _apply_ax(self, a, M, axis):
+        """Contract ``M`` against an arbitrary axis (node axes of trace /
+        plane arrays shift once the face-normal axis is removed)."""
+        nd = a.ndim
         in_subs = list(range(nd))
         out_subs = list(range(nd))
         out_subs[axis] = nd
-        return jnp.einsum(u, in_subs, M, [nd, axis], out_subs)
+        return jnp.einsum(a, in_subs, M, [nd, axis], out_subs)
 
     def _trace(self, a, d, side):
         """Contract node axis d with the face vector -> face trace array."""
@@ -222,6 +226,85 @@ class DGLaplace:
                 tg = term if tg is None else tg + term
             out[s] = (tu, tg)
         return out
+
+    # ------------------------------------------- hermite-coefficient wire
+    def boundary_coeff_planes(self, u: jnp.ndarray, d: int = 0):
+        """Hermite COEFFICIENT-form ghost payload: per slab side, the two
+        end-coefficient planes (face value, face normal-derivative) of the
+        boundary cell layer along cell axis ``d`` — the reference's
+        FE_DGQHermite ghost packing
+        (/root/reference/common/laplace_operator_dg.h:1017-1039) as an
+        explicit wire format.  Same volume as the evaluated-trace wire of
+        :meth:`boundary_traces` (2 planes per face), but basis-level: for
+        the ``hermite`` kind the pack is a pure slice (zero flops, the
+        reference's pack-from-the-coefficients economy) and the receiver
+        reconstructs any gvec-weighted trace combination locally — the
+        tangential gradient components never cross the wire.
+
+        Returns {side: (c_val, c_der)}: cell axis ``d`` reduced to one
+        layer, node axis ``d`` removed (sliced to the face-controlling
+        Hermite coefficient).  Requires degree >= 3 (below that the
+        Hermite-like basis degenerates to nodal and face traces depend on
+        every coefficient, core/dg_basis._hermite_like_basis)."""
+        assert self.grid.degree >= 3, (
+            "coefficient-form wire needs the Hermite-like end structure "
+            "(degree >= 3); use the trace wire for lower degrees")
+        dim, n = self.dim, self.n
+        axis = dim + d
+        out = {}
+        for s in (0, 1):
+            layer = (0, 1) if s == 0 else (u.shape[d] - 1, u.shape[d])
+            uL = jax.lax.slice_in_dim(u, *layer, axis=d)
+            if self._hermite_from_self is not None:
+                uL = self._apply(uL, self._hermite_from_self, d)
+            iv, ig = (0, 1) if s == 0 else (n - 1, n - 2)
+            c_val = jnp.squeeze(
+                jax.lax.slice_in_dim(uL, iv, iv + 1, axis=axis), axis)
+            c_der = jnp.squeeze(
+                jax.lax.slice_in_dim(uL, ig, ig + 1, axis=axis), axis)
+            out[s] = (c_val, c_der)
+        return out
+
+    @cached_property
+    def _hermite_from_self(self):
+        """1-D change of basis: this element's coefficients -> Hermite-like
+        coefficients (``None`` = identity: the hermite kind packs by pure
+        slice, zero flops)."""
+        from ..core.dg_basis import HERMITE
+
+        n = self.n
+        if self.grid.kind == HERMITE:
+            return None
+        hb = make_dg_basis(self.grid.degree, HERMITE)
+        S_self = np.eye(n) if self.is_collocation else np.asarray(
+            self.grid.basis.S, np.float64)
+        return jnp.asarray(hb.S_inv @ S_self, self.dtype)
+
+    def traces_from_coeff_planes(self, planes, d: int):
+        """Reconstruct the (value, gvec.grad_ref) face traces of
+        :meth:`boundary_traces` from a coefficient-form payload: the
+        Hermite end coefficients ARE the face value / reference-coordinate
+        normal derivative, and the tangential gradient components are
+        collocation derivatives of the value trace — computed on the
+        RECEIVING device, never shipped."""
+        c_val, c_der = planes
+        dim = self.dim
+        fd = self.face[d]
+
+        def tanpos(e):
+            return dim + (e if e < d else e - 1)
+
+        tu, gnorm = c_val, c_der
+        if not self.is_collocation:
+            for e in range(dim):
+                if e != d:
+                    tu = self._apply_ax(tu, self.S, tanpos(e))
+                    gnorm = self._apply_ax(gnorm, self.S, tanpos(e))
+        tg = fd["gvec"][d] * gnorm
+        for e in range(dim):
+            if e != d:
+                tg = tg + fd["gvec"][e] * self._apply_ax(tu, self.D, tanpos(e))
+        return tu, tg
 
     # --------------------------------------------------------------- vmult
     def apply(self, u: jnp.ndarray, ext=None) -> jnp.ndarray:

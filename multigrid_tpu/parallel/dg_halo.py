@@ -2,13 +2,22 @@
 
 TPU rendering of the reference's hand-rolled DG face exchange
 (/root/reference/common/laplace_operator_dg.h:981-1058): each device owns a
-slab of cells along axis 0; one operator application ships only the
-*traces* (value + normal-derivative at the slab faces) to the neighbors —
-the same two-plane payload the reference achieves with its Hermite-basis
-packing (laplace_operator_dg.h:1017-1039) — via two ``ppermute``s over ICI,
-then runs the fused cell+face kernel with the received ghost layers
-replacing the Dirichlet mirror at slab edges.  DG has no shared dofs, so no
+slab of cells along axis 0; one operator application ships only a 2-plane
+payload per slab face to the neighbors via ``ppermute``s over ICI, then
+runs the fused cell+face kernel with the received ghost layers replacing
+the Dirichlet mirror at slab edges.  DG has no shared dofs, so no
 compress(add) is needed (unlike the CG halo path in parallel/halo.py).
+
+Two wire formats, selected by ``wire=``:
+
+* ``"traces"`` (default): evaluated (value, gvec.grad) traces at the face
+  quadrature points — basis-independent, works at every degree.
+* ``"hermite"``: the Hermite COEFFICIENT planes themselves (the reference's
+  FE_DGQHermite packing, laplace_operator_dg.h:1017-1039): the sender ships
+  the two face-controlling coefficient planes (a pure slice for the hermite
+  element kind) and the RECEIVER evaluates the traces, including the
+  tangential gradient components that never cross the wire.  Same payload
+  volume, cheaper pack, degree >= 3.
 """
 
 from __future__ import annotations
@@ -22,12 +31,57 @@ from ..ops.dg import DGGrid, DGLaplace
 
 shard_map = jax.shard_map
 
+WIRE_FORMATS = ("traces", "hermite")
+
+
+def _exchange(op: DGLaplace, x, d: int, axis: str, nd: int, wire: str):
+    """One-axis ghost exchange.  Returns (own, ghost) where own[side] and
+    ghost[side] are (u_trace, gn_trace) pairs: ghost[1] is the right
+    neighbor's low face (my high-side exterior), ghost[0] the left
+    neighbor's high face."""
+    fwd = [(i, (i + 1) % nd) for i in range(nd)]
+    bwd = [(i, (i - 1) % nd) for i in range(nd)]
+    if wire == "hermite":
+        planes = op.boundary_coeff_planes(x, d=d)
+        recv_hi = jax.tree.map(lambda t: jax.lax.ppermute(t, axis, bwd),
+                               planes[0])
+        recv_lo = jax.tree.map(lambda t: jax.lax.ppermute(t, axis, fwd),
+                               planes[1])
+        own = {s: op.traces_from_coeff_planes(planes[s], d) for s in (0, 1)}
+        ghost = {1: op.traces_from_coeff_planes(recv_hi, d),
+                 0: op.traces_from_coeff_planes(recv_lo, d)}
+    else:
+        own = op.boundary_traces(x, d=d)
+        ghost = {
+            1: jax.tree.map(lambda t: jax.lax.ppermute(t, axis, bwd), own[0]),
+            0: jax.tree.map(lambda t: jax.lax.ppermute(t, axis, fwd), own[1]),
+        }
+    return own, ghost
+
+
+def _ext_entries(own, ghost, dev, nd, d):
+    """Slab-edge exterior data: interior edges use the ghosts, global
+    domain boundaries keep the Dirichlet mirror (u+ = -u-, du+ = du-)."""
+    is_last = dev == nd - 1
+    is_first = dev == 0
+    return {
+        (d, 1): (jnp.where(is_last, -own[1][0], ghost[1][0]),
+                 jnp.where(is_last, own[1][1], ghost[1][1])),
+        (d, 0): (jnp.where(is_first, -own[0][0], ghost[0][0]),
+                 jnp.where(is_first, own[0][1], ghost[0][1])),
+    }
+
 
 class HaloDGLaplace:
-    def __init__(self, op: DGLaplace, mesh: Mesh, axis: str = "z"):
+    def __init__(self, op: DGLaplace, mesh: Mesh, axis: str = "z",
+                 wire: str = "traces"):
+        assert wire in WIRE_FORMATS
+        if wire == "hermite":
+            assert op.grid.degree >= 3, "hermite wire needs degree >= 3"
         self.op = op
         self.mesh = mesh
         self.axis = axis
+        self.wire = wire
         self.nd = mesh.shape[axis]
         assert op.grid.cells[0] % self.nd == 0
 
@@ -36,39 +90,12 @@ class HaloDGLaplace:
 
     def vmult_distributed(self):
         op = self.op
-        nd, axis = self.nd, self.axis
-        fwd = [(i, (i + 1) % nd) for i in range(nd)]
-        bwd = [(i, (i - 1) % nd) for i in range(nd)]
+        nd, axis, wire = self.nd, self.axis, self.wire
 
         def body(x):
             d = jax.lax.axis_index(axis)
-            traces = op.boundary_traces(x, d=0)
-            # ship my low-face traces to the left neighbor and my high-face
-            # traces to the right neighbor (2 planes each way)
-            from_right = jax.tree.map(lambda t: jax.lax.ppermute(t, axis, bwd),
-                                      traces[0])
-            from_left = jax.tree.map(lambda t: jax.lax.ppermute(t, axis, fwd),
-                                     traces[1])
-            # interior slab edges use the ghosts; global domain boundaries
-            # keep the Dirichlet mirror (ext=None is encoded via where-mask:
-            # fall back to mirror by passing the mirror values themselves)
-            v_hi_mirror = -traces[1][0]
-            g_hi_mirror = traces[1][1]
-            v_lo_mirror = -traces[0][0]
-            g_lo_mirror = traces[0][1]
-            is_last = d == nd - 1
-            is_first = d == 0
-            ext = {
-                (0, 1): (
-                    jnp.where(is_last, v_hi_mirror, from_right[0]),
-                    jnp.where(is_last, g_hi_mirror, from_right[1]),
-                ),
-                (0, 0): (
-                    jnp.where(is_first, v_lo_mirror, from_left[0]),
-                    jnp.where(is_first, g_lo_mirror, from_left[1]),
-                ),
-            }
-            return op.apply(x, ext=ext)
+            own, ghost = _exchange(op, x, 0, axis, nd, wire)
+            return op.apply(x, ext=_ext_entries(own, ghost, d, nd, 0))
 
         return jax.jit(
             shard_map(body, mesh=self.mesh, in_specs=P(self.axis),
@@ -86,10 +113,14 @@ class HaloDGLaplace2D:
     apply overlaps both under XLA's scheduler."""
 
     def __init__(self, op: DGLaplace, mesh: Mesh,
-                 axes: tuple[str, str] = ("z", "y")):
+                 axes: tuple[str, str] = ("z", "y"), wire: str = "traces"):
+        assert wire in WIRE_FORMATS
+        if wire == "hermite":
+            assert op.grid.degree >= 3, "hermite wire needs degree >= 3"
         self.op = op
         self.mesh = mesh
         self.axes = axes
+        self.wire = wire
         self.nd = tuple(mesh.shape[a] for a in axes)
         for d in range(2):
             assert op.grid.cells[d] % self.nd[d] == 0
@@ -102,35 +133,14 @@ class HaloDGLaplace2D:
         op = self.op
         az, ay = self.axes
         ndz, ndy = self.nd
-        perms = {
-            az: ([(i, (i + 1) % ndz) for i in range(ndz)],
-                 [(i, (i - 1) % ndz) for i in range(ndz)]),
-            ay: ([(i, (i + 1) % ndy) for i in range(ndy)],
-                 [(i, (i - 1) % ndy) for i in range(ndy)]),
-        }
+        wire = self.wire
 
         def body(x):
             ext = {}
             for d, (axis, nd) in enumerate(((az, ndz), (ay, ndy))):
                 dev = jax.lax.axis_index(axis)
-                fwd, bwd = perms[axis]
-                traces = op.boundary_traces(x, d=d)
-                # my low-face traces go to the left neighbor (bwd), so I
-                # receive my right neighbor's low face = my side-1 ghost
-                from_right = jax.tree.map(
-                    lambda t: jax.lax.ppermute(t, axis, bwd), traces[0])
-                from_left = jax.tree.map(
-                    lambda t: jax.lax.ppermute(t, axis, fwd), traces[1])
-                is_last = dev == nd - 1
-                is_first = dev == 0
-                ext[(d, 1)] = (
-                    jnp.where(is_last, -traces[1][0], from_right[0]),
-                    jnp.where(is_last, traces[1][1], from_right[1]),
-                )
-                ext[(d, 0)] = (
-                    jnp.where(is_first, -traces[0][0], from_left[0]),
-                    jnp.where(is_first, traces[0][1], from_left[1]),
-                )
+                own, ghost = _exchange(op, x, d, axis, nd, wire)
+                ext.update(_ext_entries(own, ghost, dev, nd, d))
             return op.apply(x, ext=ext)
 
         return jax.jit(
