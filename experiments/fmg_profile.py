@@ -25,7 +25,13 @@ def _timed(name, build_fn, x0, reps, extra=()):
     """Time ``build_fn(carry, *extra)`` as a donated-carry chain.  ``extra``
     operands (e.g. the solver's rhs/u_bc lists) MUST ride as jit arguments:
     as closure constants they embed into the compile payload (1.2 GB of
-    rhs at the flagship hung the remote compile server)."""
+    rhs at the flagship hung the remote compile server).  Each piece's
+    executable is dropped afterwards: jit executables occupy device
+    memory, and at the flagship the accumulated pieces exhaust HBM and
+    hang the NEXT piece's compile (observed: the dp-transfer piece never
+    returned after whole-FMG + v_cycle + residual stayed cached)."""
+    import gc
+
     import jax
 
     f = jax.jit(build_fn, donate_argnums=0)
@@ -37,7 +43,9 @@ def _timed(name, build_fn, x0, reps, extra=()):
     jax.block_until_ready(x)
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:<42s} {dt*1e3:9.2f} ms", flush=True)
-    del x
+    del x, f
+    gc.collect()
+    jax.clear_caches()
     return dt
 
 

@@ -44,15 +44,20 @@ def _win_cx_ok(cx: int) -> bool:
     (ops/pallas_windowed_sp.PallasWindowedSP pad docs) when the padding
     waste stays under 1.6x — below that the ~3x fused-kernel advantage
     over the XLA paths still nets out (cx >= 80 for one tile).
-    ``MGT_WIN_PAD=0`` restricts engagement to exact multiples."""
+    ``MGT_WIN_PAD=0`` restricts engagement to exact multiples; any other
+    numeric value overrides the max pad ratio (e.g. ``MGT_WIN_PAD=2.0``
+    admits the 64-cell mid-levels of the flagship ladder — hardware A/B
+    knob)."""
     import os
 
     if cx % 128 == 0:
         return True
-    if os.environ.get("MGT_WIN_PAD", "1") in ("", "0"):
+    env = os.environ.get("MGT_WIN_PAD", "1")
+    if env in ("", "0"):
         return False
+    max_ratio = 1.6 if env == "1" else float(env)
     cxp = -(-cx // 128) * 128
-    return cxp / cx <= 1.6
+    return cxp / cx <= max_ratio
 
 
 def _bc_faces_host(g: DofGrid, exact_fn) -> list[np.ndarray]:
