@@ -27,4 +27,12 @@ phase fmg_profile3 3600 python experiments/fmg_profile.py 128 5
 #    kernels at 2x pad waste (L2 guard in bench.py protects correctness).
 MGT_WIN_PAD=2.0 phase bench_pad2 3600 python bench.py
 
+# 3. dp Ozaki banded-matmul transfers for the FMG solution prolongations
+#    (CPU-verified 1e-14 vs the df64 window path; L2 parity must hold).
+MGT_DP_MM_TRANSFER=1 phase bench_dpmm 3600 python bench.py
+
+# 4. node-grid dp entries via the fused kernel AND the mm transfers
+#    (the combined best-known-knob candidate for the new default).
+MGT_DP_NODE_VIA_WIN=1 MGT_DP_MM_TRANSFER=1 phase bench_combo 3600 python bench.py
+
 echo "sweep part 7 complete; logs in $OUT"

@@ -271,3 +271,157 @@ class MatmulTransfer(Transfer):
         if self.constrained:
             u = jnp.where(self.coarse_interior, u, 0)
         return u
+
+
+# --------------------------------------------------------------------------
+# dp (f64) flavor of MatmulTransfer: exact-bf16-limb (Ozaki) MXU matmuls
+# --------------------------------------------------------------------------
+
+def _ozaki_band_groups(A: np.ndarray, n_limbs: int, max_m: int):
+    """Limb-split a banded f64 matrix [K, Nout] into the triangular
+    scale-group stacks of the dp operator scheme
+    (ops/laplace_dense.DenseLaplaceOzaki.__init__): group m contracts
+    input-limb prefix l = 0..m against matrix limbs k = m-l in one bf16
+    MXU pass with exact f32 accumulation."""
+    from .laplace_dense import _LIMB_BITS, _split_limbs_f64
+
+    sigma, limbs = _split_limbs_f64(A, n_limbs, _LIMB_BITS)
+    groups = [
+        jnp.asarray(np.vstack([limbs[m - l] for l in range(m + 1)]),
+                    jnp.bfloat16)
+        for m in range(max_m + 1)
+    ]
+    return np.float64(sigma), groups
+
+
+class OzakiMatmulTransfer(Transfer):
+    """dp (f64) per-axis banded transfer matrices on the MXU.
+
+    The df64 base-class flavor windows the grid into coarse-cell blocks and
+    runs width-(p+1) compensated contractions on the VPU — correct, but the
+    gather/scatter relayouts and elementwise two_prod chains are glue on a
+    matmul machine.  This flavor reuses the dp operator's Ozaki scheme
+    (ops/laplace_dense.py): each axis is ONE banded [fine_d, coarse_d]
+    contraction evaluated as triangular scale-group bf16 matmuls with exact
+    f32 accumulation, and the (hi, lo) f32 pair rides through all three
+    axes (half the HBM traffic of f64 intermediates).  Exactness of the
+    accumulation holds because a banded row contributes at most
+    2*(p+1) nonzero products per group term — the dense zeros add exactly.
+
+    Accuracy: ~2^-49 relative to the per-line max (the dp operator's own
+    guarantee), vs the elementwise-relative df64 path; both are ~5 orders
+    below the discretization-accuracy needs of the FMG dp prolongate
+    (/root/reference/common/multigrid_solver.h:415).
+    """
+
+    _N_LIMBS = 7
+    _MAX_M = 6
+
+    def __init__(self, fine: DofGrid, coarse: DofGrid, dtype=jnp.float64,
+                 constrained: bool = True):
+        super().__init__(fine, coarse, dtype, constrained)
+        assert self._df64, "OzakiMatmulTransfer is the dp flavor"
+        from .laplace_dense import _LIMB_BITS
+
+        b = fine.basis
+        p = fine.degree
+        # the banded accumulation bound (see class docstring)
+        assert (2 * _LIMB_BITS
+                + np.log2((self._MAX_M + 1) * 2 * (p + 1))) < 24
+        self._gp = []   # prolongate: contract coarse axis, A = M^T
+        self._gr = []   # restrict:   contract fine axis,   A = M
+        for d in range(fine.dim):
+            ncc = coarse.cells[d]
+            Xf, Xc = 2 * p * ncc + 1, p * ncc + 1
+            S = np.zeros((Xf, Xc))
+            for c in range(ncc):
+                S[2 * p * c: 2 * p * c + 2 * p + 1,
+                  p * c: p * c + p + 1] += np.asarray(b.P, np.float64)
+            w = np.ones(Xf)
+            if ncc > 1:
+                w[2 * p: -1: 2 * p] = 0.5
+            M = w[:, None] * S
+            self._gp.append(_ozaki_band_groups(
+                M.T, self._N_LIMBS, self._MAX_M))
+            self._gr.append(_ozaki_band_groups(
+                M, self._N_LIMBS, self._MAX_M))
+
+    @staticmethod
+    def _limb_split_pair(xh, xl, n_limbs):
+        """Per-line scaled limb extraction from an f32 pair [M, K]
+        (ops/laplace_dense.DenseLaplaceOzaki._limb_split_device, with the
+        line = the contraction axis)."""
+        from .df64 import two_sum
+        from .laplace_dense import _LIMB_BITS
+
+        s = jnp.max(jnp.abs(xh), axis=1, keepdims=True)
+        sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(s, 1e-30))))
+        sigma = jnp.where(s > 0, sigma, 1.0)
+        rh = xh / sigma
+        rl = xl / sigma
+        limbs = []
+        for k in range(n_limbs):
+            scale = np.float32(2.0 ** (_LIMB_BITS * (k + 1)))
+            inv = np.float32(2.0 ** (-_LIMB_BITS * (k + 1)))
+            chopped = jnp.round(rh * scale) * inv
+            rh = rh - chopped  # exact (aligned grids)
+            rh, rl = two_sum(rh, rl)
+            limbs.append(
+                (chopped * np.float32(2.0 ** (_LIMB_BITS * k))
+                 ).astype(jnp.bfloat16))
+        return sigma, limbs
+
+    def _axis_mm_pair(self, xh, xl, d: int, restrict: bool):
+        """One banded axis contraction on an f32 pair, df64-accurate."""
+        from .df64 import df64_add
+        from .laplace_dense import _LIMB_BITS
+
+        sigma_A, groups = (self._gr if restrict else self._gp)[d]
+        K = groups[0].shape[0]
+        shape_in = xh.shape
+        xh = jnp.moveaxis(xh, d, -1).reshape(-1, K)
+        xl = jnp.moveaxis(xl, d, -1).reshape(-1, K)
+        sigma, limbs = self._limb_split_pair(xh, xl, self._N_LIMBS)
+        packed = jnp.concatenate(limbs, axis=1)           # [M, n_limbs*K]
+        acc_h = acc_l = None
+        for m in range(self._MAX_M + 1):
+            Ym = jnp.dot(packed[:, : (m + 1) * K], groups[m],
+                         preferred_element_type=jnp.float32)
+            delta = np.float32(sigma_A * 2.0 ** (-_LIMB_BITS * m))
+            term = Ym * delta * sigma
+            if acc_h is None:
+                acc_h, acc_l = term, jnp.zeros_like(term)
+            else:
+                acc_h, acc_l = df64_add(acc_h, acc_l, term,
+                                        jnp.zeros_like(term))
+        n_out = groups[0].shape[1]
+        out_shape = shape_in[:d] + shape_in[d + 1:] + (n_out,)
+        acc_h = jnp.moveaxis(acc_h.reshape(out_shape), -1, d)
+        acc_l = jnp.moveaxis(acc_l.reshape(out_shape), -1, d)
+        return acc_h, acc_l
+
+    def _all_axes(self, u, restrict: bool):
+        from .df64 import join_f64, split_f64
+
+        xh, xl = split_f64(u)
+        for d in range(self.fine.dim):
+            xh, xl = self._axis_mm_pair(xh, xl, d, restrict)
+        return join_f64(xh, xl)
+
+    def prolongate(self, u_coarse: jnp.ndarray) -> jnp.ndarray:
+        u = u_coarse
+        if self.constrained:
+            u = jnp.where(self.coarse_interior, u, 0)
+        uf = self._all_axes(u, restrict=False)
+        if self.constrained:
+            uf = jnp.where(self.fine_interior, uf, 0)
+        return uf
+
+    def restrict(self, u_fine: jnp.ndarray) -> jnp.ndarray:
+        u = u_fine
+        if self.constrained:
+            u = jnp.where(self.fine_interior, u, 0)
+        uc = self._all_axes(u, restrict=True)
+        if self.constrained:
+            uc = jnp.where(self.coarse_interior, uc, 0)
+        return uc

@@ -259,8 +259,17 @@ class MultigridSolver:
                          constrained=True)
             for l in range(1, L)
         ]
+        # dp flavor of the banded-matmul transfer (Ozaki bf16-limb MXU
+        # matmuls, ops/transfer.OzakiMatmulTransfer) for the FMG solution
+        # prolongations: MGT_DP_MM_TRANSFER=1 opt-in pending hardware A/B
+        # (CPU-verified to 1e-14 against the df64 window path).
+        _dpmm = _os.environ.get("MGT_DP_MM_TRANSFER")
+        _DpTransferCls = Transfer
+        if f_dtype == jnp.float64 and _dpmm not in (None, "", "0"):
+            from ..ops.transfer import OzakiMatmulTransfer as _DpTransferCls
         self.transfers_nobc = [None] + [
-            Transfer(self.grids[l], self.grids[l - 1], f_dtype, constrained=False)
+            _DpTransferCls(self.grids[l], self.grids[l - 1], f_dtype,
+                           constrained=False)
             for l in range(1, L)
         ]
 
