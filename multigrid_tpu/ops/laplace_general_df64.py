@@ -38,7 +38,7 @@ from .df64 import (
     quick_two_sum,
     split_f64,
 )
-from .laplace import sym_index
+from .laplace import sym_components, sym_index
 
 
 def two_prod_masked(a, b):
@@ -168,3 +168,28 @@ class GeneralLaplaceDF64:
         xh, xl = split_f64(xm)
         y = self._scatter_add_f64(*self.apply_cells_pair(xh, xl, Cp))
         return jnp.where(self.interior, rhs - y, rhs - lhs)
+
+    # ------------------------------------------------------------ diagonal
+    def inverse_diagonal(self, C=None) -> jnp.ndarray:
+        """Closed-form operator diagonal in df64 pairs, f64 out — the dp
+        twin of ``GeneralLaplace.inverse_diagonal`` (setup-only; the f64
+        form runs in XLA's emulated f64 on TPU)."""
+        Cp = self.C if C is None else split_pair(C)
+        Chi, Clo = Cp
+        b = self.grid.basis
+        dh = dl = None
+        for s_, (a, bb) in enumerate(sym_components(self.dim)):
+            f = 1.0 if a == bb else 2.0
+            th, tl = Chi[..., s_] * f, Clo[..., s_] * f
+            for e in range(self.dim):
+                Ta = b.D_col @ b.S if a == e else b.S
+                Tb = b.D_col @ b.S if bb == e else b.S
+                th, tl = apply_1d_df64(
+                    th, tl, SplitMatrix(np.asarray(Ta * Tb).T), 1 + e)
+            if dh is None:
+                dh, dl = th, tl
+            else:
+                dh, dl = df64_add(dh, dl, th, tl)
+        diag = self._scatter_add_f64(dh, dl)
+        diag = jnp.where(self.interior, diag, 1.0)
+        return 1.0 / diag

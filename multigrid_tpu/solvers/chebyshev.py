@@ -34,6 +34,17 @@ FIRST_KIND = "first_kind"
 FOURTH_KIND = "fourth_kind"
 
 
+def _vdot(a, b):
+    """f64 dots ride ops/df64.dot_f64: XLA:TPU f64 reductions are ~100x
+    slow AND pick a reduced-precision strategy inside scan bodies
+    (CLAUDE.md); f32 dots stay native."""
+    if a.dtype == jnp.float64:
+        from ..ops.df64 import dot_f64
+
+        return dot_f64(a, b)
+    return jnp.vdot(a, b)
+
+
 def eig_estimate_start_vector(shape, dtype, mask=None) -> jnp.ndarray:
     """deal.II's deterministic high-frequency start vector: global index
     mod 11, mean subtracted.  Built ON DEVICE (iota % 11 − closed-form
@@ -64,7 +75,7 @@ def lanczos_body(
     callers can bake it into larger jitted programs with the operator's
     coefficients as ARGUMENTS (one compile across Newton steps)."""
     z0 = precond(rhs)
-    rz0 = jnp.vdot(rhs, z0)
+    rz0 = _vdot(rhs, z0)
     # stop contributing once CG has converged to rounding level (the
     # reference's full-size coarse-level estimate relies on deal.II's
     # CG stopping early; stagnated Lanczos tails would pollute T)
@@ -74,12 +85,12 @@ def lanczos_body(
     def step(carry, _):
         r, p, rz, valid = carry
         q = vmult(p)
-        pq = jnp.vdot(p, q)
+        pq = _vdot(p, q)
         ok = valid & (pq > 0) & (rz > floor)
         alpha = jnp.where(ok, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
         r2 = r - alpha * q
         z = precond(r2)
-        rz2 = jnp.vdot(r2, z)
+        rz2 = _vdot(r2, z)
         beta = jnp.where(ok, rz2 / jnp.where(rz == 0, 1.0, rz), 0.0)
         p2 = z + beta * p
         carry = (

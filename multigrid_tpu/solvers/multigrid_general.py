@@ -19,7 +19,8 @@ import numpy as np
 
 from ..mesh.mapped import GeneralGrid, MappedMesh
 from ..ops.laplace_general import GeneralLaplace
-from ..ops.transfer_general import GeneralTransfer
+from ..ops.laplace_general_df64 import GeneralLaplaceDF64, split_pair
+from ..ops.transfer_general import GeneralTransfer, GeneralTransferDF64
 from .cg import CGResult, cg_solve
 from .chebyshev import FIRST_KIND, Chebyshev
 
@@ -45,10 +46,20 @@ class GeneralMultigridSolver:
         f_dtype=jnp.float64,
         pure_double: bool = False,
         chebyshev_kind: str = FIRST_KIND,
+        dp_df64: Optional[bool] = None,
     ):
         assert n_pre == n_post
         if pure_double:
             v_dtype = f_dtype
+        # dp matvecs in compensated f32 pairs (ops/laplace_general_df64):
+        # XLA's f64 emulation makes the native-f64 operator ~100x slower
+        # than f32 on TPU (33 s best-of-3 CG at 1.6M shell dofs measured;
+        # the 3.2M CG crashed the TPU worker).  Auto-on off-CPU.
+        if dp_df64 is None:
+            dp_df64 = jax.default_backend() != "cpu"
+        self.dp_df64 = bool(dp_df64)
+        # pure-double on TPU = the whole V-cycle rides the pair operators
+        self._pure_pair = self.dp_df64 and pure_double
         self.mesh = mesh
         self.n_cycles = n_cycles
         self._n_pre = n_pre
@@ -61,18 +72,39 @@ class GeneralMultigridSolver:
         self.grids = [GeneralGrid(mesh, l, degree) for l in range(L)]
         self.ops = []
         self.ops_dp = []
+        self.ops_dfp = []
         for g in self.grids:
             coef = g.merged_coefficient(coef_fn)
-            self.ops.append(GeneralLaplace(g, v_dtype, coef=coef))
+            dfp = GeneralLaplaceDF64(g, coef=coef) if self.dp_df64 else None
+            self.ops_dfp.append(dfp)
+            if self._pure_pair:
+                self.ops.append(dfp)
+            else:
+                self.ops.append(GeneralLaplace(g, v_dtype, coef=coef))
+            # native-f64 twin stays for setup/analysis (rhs assembly,
+            # l2_error, minimal_surface's field evaluations)
             self.ops_dp.append(GeneralLaplace(g, f_dtype, coef=coef))
-        self.transfers = [None] + [
-            GeneralTransfer(self.grids[l], self.grids[l - 1], v_dtype, True)
-            for l in range(1, L)
-        ]
-        self.transfers_nobc = [None] + [
-            GeneralTransfer(self.grids[l], self.grids[l - 1], f_dtype, False)
-            for l in range(1, L)
-        ]
+        if self._pure_pair:
+            self.transfers = [None] + [
+                GeneralTransferDF64(self.grids[l], self.grids[l - 1], True)
+                for l in range(1, L)
+            ]
+        else:
+            self.transfers = [None] + [
+                GeneralTransfer(self.grids[l], self.grids[l - 1], v_dtype, True)
+                for l in range(1, L)
+            ]
+        if self.dp_df64:
+            # the dp FMG solution prolongation must not ride emulated f64
+            self.transfers_nobc = [None] + [
+                GeneralTransferDF64(self.grids[l], self.grids[l - 1], False)
+                for l in range(1, L)
+            ]
+        else:
+            self.transfers_nobc = [None] + [
+                GeneralTransfer(self.grids[l], self.grids[l - 1], f_dtype, False)
+                for l in range(1, L)
+            ]
 
         self.bmask = [jnp.asarray(g.boundary) for g in self.grids]
         self.u_bc, self.rhs, self.exact_quad = [], [], []
@@ -135,7 +167,7 @@ class GeneralMultigridSolver:
         # on every solve program.  As pytree ARGUMENTS they cost nothing.
         self._params = dict(
             C_sp=[op.C for op in self.ops],
-            C_dp=[op.C for op in self.ops_dp],
+            C_dp=[self._dp_op(l).C for l in range(L)],
             inv_diag=list(self._inv_diag),
             theta=[sm.theta for sm in self.smoothers],
             delta=[sm.delta for sm in self.smoothers],
@@ -143,6 +175,11 @@ class GeneralMultigridSolver:
         )
 
     # ---------------------------------------------------------------- core
+    def _dp_op(self, level: int):
+        """dp operator for FMG residuals and the outer CG matvec: the
+        pair-arithmetic twin on TPU, native f64 elsewhere."""
+        return self.ops_dfp[level] if self.dp_df64 else self.ops_dp[level]
+
     def _smoother_at(self, level: int, params=None):
         """Level smoother; with ``params`` the coefficient, diagonal and
         Chebyshev interval are read from the pytree (traced values)."""
@@ -193,7 +230,7 @@ class GeneralMultigridSolver:
             sol_bc = jnp.where(self.bmask[l - 1], u_bc[l - 1], sol)
             sol = self.transfers_nobc[l].prolongate(sol_bc)
             sol = jnp.where(self.bmask[l], 0.0, sol)
-            res = self.ops_dp[l].vmult_residual(
+            res = self._dp_op(l).vmult_residual(
                 rhs[l], sol,
                 C=None if params is None else params["C_dp"][l])
             upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles,
@@ -221,7 +258,7 @@ class GeneralMultigridSolver:
         if key not in self._cg_param_jits:
             self._cg_param_jits[key] = jax.jit(
                 lambda bb, params: cg_solve(
-                    lambda x: self.ops_dp[L].vmult(x, C=params["C_dp"][L]),
+                    lambda x: self._dp_op(L).vmult(x, C=params["C_dp"][L]),
                     bb,
                     precond=lambda r: self._precond(r, params),
                     max_iterations=max_iterations,
@@ -270,8 +307,14 @@ class GeneralMultigridSolver:
         from .chebyshev import eig_estimate_start_vector, interval_from_spectrum, tridiag_extremes
 
         L = len(self.grids)
-        C_sp = [jnp.asarray(C, self.v_dtype) for C in coefs]
-        C_dp = [jnp.asarray(C, self.f_dtype) for C in coefs]
+        if self.dp_df64:
+            C_dp = [split_pair(jnp.asarray(C, jnp.float64)) for C in coefs]
+        else:
+            C_dp = [jnp.asarray(C, self.f_dtype) for C in coefs]
+        if self._pure_pair:
+            C_sp = C_dp
+        else:
+            C_sp = [jnp.asarray(C, self.v_dtype) for C in coefs]
         inv_diag = [self._inv_diag_jit(l)(C_sp[l]) for l in range(L)]
         theta, delta = [], []
         coarse_degree = None
@@ -302,7 +345,9 @@ class GeneralMultigridSolver:
         # entry points (rhs assembly, l2_error, direct vmult use)
         for l in range(L):
             self.ops[l].C = C_sp[l]
-            self.ops_dp[l].C = C_dp[l]
+            self.ops_dp[l].C = jnp.asarray(coefs[l], self.f_dtype)
+            if self.dp_df64:
+                self.ops_dfp[l].C = C_dp[l]
         # rebuild the static smoothers so the non-param paths (solve()/
         # _fmg(), v_cycle(params=None)) smooth the NEW operator with the
         # NEW diagonal/interval, not the stale __init__ values

@@ -65,6 +65,70 @@ def test_vmult_matches_f64(shell_ops, lvl):
 
 
 @pytest.mark.parametrize("lvl", [0, 1])
+def test_inverse_diagonal_matches_f64(shell_ops, lvl):
+    g, coef, op64, opdf = shell_ops[lvl]
+    ref = np.asarray(op64.inverse_diagonal())
+    got = np.asarray(jax.jit(opdf.inverse_diagonal)(opdf.C))
+    assert np.max(np.abs(ref - got) / np.abs(ref)) < 1e-12
+
+
+@pytest.mark.parametrize("constrained", [True, False])
+def test_transfer_df64_matches_f64(constrained):
+    from multigrid_tpu.ops.transfer_general import (GeneralTransfer,
+                                                    GeneralTransferDF64)
+
+    mesh = hyper_shell(0.5, 1.0, n_levels=2)
+    fine = GeneralGrid(mesh, 1, 3)
+    coarse = GeneralGrid(mesh, 0, 3)
+    t64 = GeneralTransfer(fine, coarse, jnp.float64, constrained)
+    tdf = GeneralTransferDF64(fine, coarse, constrained)
+    rng = np.random.default_rng(7)
+    uc = jnp.asarray(rng.standard_normal(coarse.n_dofs))
+    uf = jnp.asarray(rng.standard_normal(fine.n_dofs))
+    p_ref = np.asarray(t64.prolongate(uc))
+    p_got = np.asarray(jax.jit(tdf.prolongate)(uc))
+    assert np.max(np.abs(p_ref - p_got)) < 1e-12 * np.max(np.abs(p_ref))
+    r_ref = np.asarray(t64.restrict(uf))
+    r_got = np.asarray(jax.jit(tdf.restrict)(uf))
+    assert np.max(np.abs(r_ref - r_got)) < 1e-12 * np.max(np.abs(r_ref))
+
+
+@pytest.mark.parametrize("pure_double", [False, True])
+def test_solver_df64_matches_native(pure_double):
+    """GeneralMultigridSolver(dp_df64=True) reproduces the native-f64 dp
+    path: identical CG iteration counts, FMG/CG L2 errors to ~1e-9."""
+    from multigrid_tpu.solvers.chebyshev import FOURTH_KIND
+    from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
+
+    def exact_fn(coords):
+        return np.sin(2 * np.pi * (coords[0] + coords[1]))
+
+    def rhs_fn(coords):
+        c = coef_fn(coords)
+        # not the analytic rhs of exact_fn for this variable coefficient,
+        # but any rhs exercises the solve identically for a path comparison
+        return c * 0.0 + 8 * np.pi**2 * exact_fn(coords)
+
+    mesh = hyper_shell(0.5, 1.0, n_levels=2)
+    kw = dict(n_pre=3, n_post=3, n_cycles=1)
+    if pure_double:
+        kw.update(pure_double=True, chebyshev_kind=FOURTH_KIND)
+    a = GeneralMultigridSolver(mesh, 2, exact_fn, rhs_fn, coef_fn=coef_fn,
+                               dp_df64=False, **kw)
+    b = GeneralMultigridSolver(mesh, 2, exact_fn, rhs_fn, coef_fn=coef_fn,
+                               dp_df64=True, **kw)
+    sol_a = np.asarray(a.solve())
+    sol_b = np.asarray(b.solve())
+    den = np.max(np.abs(sol_a))
+    assert np.max(np.abs(sol_a - sol_b)) / den < 1e-8
+    xa, ita, _ = a.solve_cg()
+    xb, itb, _ = b.solve_cg()
+    assert ita == itb
+    assert np.max(np.abs(np.asarray(xa) - np.asarray(xb))) / max(
+        np.max(np.abs(np.asarray(xa))), 1e-30) < 1e-7
+
+
+@pytest.mark.parametrize("lvl", [0, 1])
 def test_vmult_residual_matches_f64(shell_ops, lvl):
     g, coef, op64, opdf = shell_ops[lvl]
     rng = np.random.default_rng(10 + lvl)
