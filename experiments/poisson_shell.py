@@ -83,6 +83,10 @@ def main():
                          "the reference poisson_shell solver specialization "
                          "(multigrid_solver.h:789-1285, 945-963)")
     ap.add_argument("--cycles", type=int, default=8)
+    ap.add_argument("--min-cycle", type=int, default=0,
+                    help="first cycle to run (cycles are independent; "
+                         "resume an interrupted ladder without redoing "
+                         "the small rows)")
     args = ap.parse_args()
 
     kw = {}
@@ -92,7 +96,7 @@ def main():
         kw = dict(pure_double=True, chebyshev_kind=FOURTH_KIND)
 
     rows = []
-    for cycle in range(args.cycles):
+    for cycle in range(args.min_cycle, args.cycles):
         n_levels = 1 + cycle // 2
         if cycle % 2 == 0:
             mesh = hyper_shell(0.5, 1.0, n_levels=n_levels)
