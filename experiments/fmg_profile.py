@@ -83,14 +83,17 @@ def main():
                    extra=(solver.rhs, solver.u_bc))
 
     total = 0.0
-    for l in range(L, max(L - 3, 0), -1):
+    n_tail = 4
+    for l in range(L, max(L - n_tail, 0), -1):
         g = solver.grids[l]
-        sp0 = jnp.zeros(g.shape, solver.v_dtype)
+        # donate_argnums=0 consumes the carry's buffer — every _timed call
+        # needs its OWN zeros array (a shared one is deleted by the first)
+        sp0 = lambda _g=g: jnp.zeros(_g.shape, solver.v_dtype)
         dp0 = jnp.zeros(g.shape, solver.f_dtype)
         # FMG runs n_cycles V-cycles at every level from l upward
         t_v = _timed(f"v_cycle(L{l}, n={solver.n_cycles})",
                      lambda d, _l=l: solver.v_cycle(
-                         _l, d, solver.n_cycles), sp0, reps)
+                         _l, d, solver.n_cycles), sp0(), reps)
         t_r = _timed(f"dp residual(L{l})",
                      lambda s, b, _l=l: solver.dp_ops[_l].vmult_residual(
                          b, s), dp0, reps, extra=(solver.rhs[l],))
@@ -99,16 +102,33 @@ def main():
                      lambda c, _l=l: solver.transfers_nobc[_l].restrict(
                          solver.transfers_nobc[_l].prolongate(c)), cp0, reps)
         total += t_v + t_r + t_p
+        # the V-cycle's own sp transfers (constrained): 2 restrict +
+        # 2 prolongate per n=2 cycle at this level — glue suspect #2
+        cs0 = jnp.zeros(solver.grids[l - 1].shape, solver.v_dtype)
+        _timed(f"  sp prolongate+restrict roundtrip(L{l})",
+               lambda c, _l=l: solver.transfers[_l].restrict(
+                   solver.transfers[_l].prolongate(c)), cs0, reps)
         if l in getattr(solver, "_sp_win", {}):
             opw, smw = solver._sp_win[l]
             _timed(f"  windowed smoother vmult(L{l})",
                    lambda d, _s=smw, _o=opw: _o.from_windowed(
-                       _s.vmult(_o.to_windowed(d))), sp0, reps)
+                       _s.vmult(_o.to_windowed(d))), sp0(), reps)
+            _timed(f"  windowed smoother step(L{l})",
+                   lambda d, _s=smw, _o=opw: _o.from_windowed(
+                       _s.step(_o.to_windowed(d), _o.to_windowed(d))),
+                   sp0(), reps)
+            _timed(f"  windowed resid_fused(L{l})",
+                   lambda d, _o=opw: _o.from_windowed(
+                       _o.resid_fused(_o.to_windowed(d), _o.to_windowed(d))),
+                   sp0(), reps)
             _timed(f"  to/from_windowed relayout(L{l})",
                    lambda d, _o=opw: _o.from_windowed(_o.to_windowed(d)),
-                   sp0, reps)
-    print(f"{'sum of pieces (3 finest levels)':<42s} {total*1e3:9.2f} ms"
-          f"   vs fmg {t_fmg*1e3:.2f} ms")
+                   sp0(), reps)
+        else:
+            _timed(f"  node smoother vmult(L{l})",
+                   lambda d, _l=l: solver.smoothers[_l].vmult(d), sp0(), reps)
+    print(f"{f'sum of pieces ({n_tail} finest levels)':<42s} "
+          f"{total*1e3:9.2f} ms   vs fmg {t_fmg*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
