@@ -375,16 +375,19 @@ class WindowedHybridOzaki:
     """Flagship dp operator: fused windowed Mosaic kernel + XLA fallback.
 
     ``.win`` (PallasWindowedOzaki) serves the pair-native CG hot loop —
-    persistent windowed vectors, zero per-iteration conversions.  All f64
-    node-grid entry points (FMG residuals, rhs assembly, diagnostics)
-    delegate to a DenseLaplaceOzakiChunked by default: with the ROUND-2
-    XLA relayouts, windowed-with-conversions was slower for one-shot
-    applies.  ``MGT_DP_NODE_VIA_WIN=1`` re-routes node-grid vmult /
-    vmult_residual through the kernel + MXU permutation conversions
-    (pallas_windowed_sp.perm_mm) — expected ~80 ms vs 124 ms per
-    flagship FMG residual; measure before defaulting (A/B via
-    experiments/remeasure_tpu.sh).  Same limb scheme on both sides:
-    bit-exact agreement (tests/test_pallas_windowed)."""
+    persistent windowed vectors, zero per-iteration conversions.  On TPU
+    the f64 node-grid vmult / vmult_residual entry points (FMG residuals)
+    also route through the kernel + MXU permutation conversions
+    (pallas_windowed_sp.perm_mm): hardware A/B 2026-08-19 measured
+    flagship FMG 0.878 s vs 0.905 s on the chunked-XLA node path, same
+    L2 error (docs/tpu_r3/bench_nodewin2.log) — the ROUND-2 relayouts
+    that made windowed-with-conversions slower are gone since the
+    perm_mm precision fix.  ``MGT_DP_NODE_VIA_WIN=0`` restores the
+    DenseLaplaceOzakiChunked delegation (which still serves rhs
+    assembly, diagonals and diagnostics either way).  In interpret mode
+    (off-TPU) the chunked path stays the default — the kernel emulation
+    is the slow side there.  Same limb scheme on both sides: bit-exact
+    agreement (tests/test_pallas_windowed)."""
 
     def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
                  interpret: bool = False):
@@ -394,7 +397,9 @@ class WindowedHybridOzaki:
 
         self.win = PallasWindowedOzaki(grid, coef, interpret=interpret)
         self._chunked = DenseLaplaceOzakiChunked(grid, coef)
-        if os.environ.get("MGT_DP_NODE_VIA_WIN"):
+        env = os.environ.get("MGT_DP_NODE_VIA_WIN")
+        via_win = (not interpret) if env is None else env not in ("", "0")
+        if via_win:
             self.vmult = self.win.vmult
             self.vmult_residual = self.win.vmult_residual
 

@@ -261,11 +261,17 @@ class MultigridSolver:
         ]
         # dp flavor of the banded-matmul transfer (Ozaki bf16-limb MXU
         # matmuls, ops/transfer.OzakiMatmulTransfer) for the FMG solution
-        # prolongations: MGT_DP_MM_TRANSFER=1 opt-in pending hardware A/B
-        # (CPU-verified to 1e-14 against the df64 window path).
+        # prolongations — TPU default: hardware A/B 2026-08-19 measured
+        # flagship FMG 0.814 s vs 0.878 s on the windowed dp transfers,
+        # same L2 error (docs/tpu_r3/bench_dpmm.log); CPU-verified to
+        # 1e-14 against the df64 window path.  MGT_DP_MM_TRANSFER=0/1
+        # overrides either way (CPU keeps the windowed flavor: the dense
+        # band's FLOP inflation is a loss off the MXU).
         _dpmm = _os.environ.get("MGT_DP_MM_TRANSFER")
+        use_dpmm = (jax.default_backend() == "tpu" if _dpmm is None
+                    else _dpmm not in ("", "0"))
         _DpTransferCls = Transfer
-        if f_dtype == jnp.float64 and _dpmm not in (None, "", "0"):
+        if f_dtype == jnp.float64 and use_dpmm:
             from ..ops.transfer import OzakiMatmulTransfer as _DpTransferCls
         self.transfers_nobc = [None] + [
             _DpTransferCls(self.grids[l], self.grids[l - 1], f_dtype,
