@@ -273,6 +273,72 @@ class MatmulTransfer(Transfer):
         return u
 
 
+class WindowedMatmulTransfer:
+    """Composed windowed-boundary V-cycle transfer for windowed sp levels.
+
+    At fused-smoother levels the V-cycle's restrict source and prolongate
+    target live in the kernel's persistent x-windowed layout ``[Z, Yp, G]``
+    (ops/pallas_windowed_sp.XWindowMap).  The node<->window relayout is a
+    lane-permutation matmul in x, and :class:`MatmulTransfer`'s x factor is
+    a banded matmul in x — so the two COMPOSE into one ``[G, Xc]`` /
+    ``[Xc, G]`` factor whose entries are exactly a lane permutation of the
+    banded factor (a 0/1 permutation placed in f64 on the host: no value
+    changes, no accuracy change vs the node path beyond f32 summation
+    order).  This removes one full relayout pass over the fine array per
+    restrict and per prolongate — the measured ~150 ms/roundtrip glue of
+    the flagship V-cycle (docs/tpu_r3/fmg_profile4.log).
+
+    Fine-interior constraint masks are separable and absorbed into the
+    factor rows; the coarse-side mask stays an elementwise ``where`` on the
+    8x-smaller coarse grid.  Semantics match ``MatmulTransfer(constrained=
+    True)`` around ``to_windowed``/``from_windowed`` (deal.II constrained
+    ``MGTransferMatrixFree``, /root/reference/common/multigrid_solver.h:
+    208-222).
+    """
+
+    def __init__(self, base: MatmulTransfer, opw):
+        import jax
+
+        assert isinstance(base, MatmulTransfer) and base.constrained
+        assert base.fine.dim == 3
+        self.base = base
+        self._hi = jax.lax.Precision.HIGHEST
+        fine = base.fine
+        X = fine.shape[2]
+        mf = [np.asarray(a, np.float64) for a in base._fine_axes]
+        M = [np.asarray(base._M[d], np.float64) * mf[d][:, None]
+             for d in range(3)]
+        Pw, Pu = opw.xmap._mats()          # [Xp, G], [G, Xp]
+        # x-axis factors composed with the window permutation (exact in f64)
+        self._Cr = jnp.asarray(Pu[:, :X] @ M[2], jnp.float32)   # [G, Xc]
+        self._Cp = jnp.asarray(M[2].T @ Pw[:X], jnp.float32)    # [Xc, G]
+        self._My = jnp.asarray(M[1], jnp.float32)
+        self._Mz = jnp.asarray(M[0], jnp.float32)
+        self._Y = fine.shape[1]
+        self._Yp = opw.Yp
+
+    def restrict_win(self, w: jnp.ndarray) -> jnp.ndarray:
+        """Windowed fine ``[Z, Yp, G]`` -> constrained coarse node grid."""
+        u = jnp.tensordot(w[:, : self._Y], self._Cr, axes=[[2], [0]],
+                          precision=self._hi)                  # [Z, Y, Xc]
+        u = jnp.moveaxis(jnp.tensordot(u, self._My, axes=[[1], [0]],
+                                       precision=self._hi), -1, 1)
+        u = jnp.moveaxis(jnp.tensordot(u, self._Mz, axes=[[0], [0]],
+                                       precision=self._hi), -1, 0)
+        return jnp.where(self.base.coarse_interior, u, 0)
+
+    def prolongate_win(self, u_coarse: jnp.ndarray) -> jnp.ndarray:
+        """Constrained coarse node grid -> windowed fine ``[Z, Yp, G]``."""
+        u = jnp.where(self.base.coarse_interior, u_coarse, 0)
+        u = jnp.moveaxis(jnp.tensordot(u, self._Mz, axes=[[0], [1]],
+                                       precision=self._hi), -1, 0)
+        u = jnp.moveaxis(jnp.tensordot(u, self._My, axes=[[1], [1]],
+                                       precision=self._hi), -1, 1)
+        u = jnp.tensordot(u, self._Cp, axes=[[2], [0]],
+                          precision=self._hi)                  # [Z, Y, G]
+        return jnp.pad(u, ((0, 0), (0, self._Yp - self._Y), (0, 0)))
+
+
 # --------------------------------------------------------------------------
 # dp (f64) flavor of MatmulTransfer: exact-bf16-limb (Ozaki) MXU matmuls
 # --------------------------------------------------------------------------

@@ -418,6 +418,24 @@ class MultigridSolver:
                 self._sp_win[l] = (opw, smw)
                 _tick(f"sp_win[{l}]")
 
+        # composed windowed-boundary transfers at windowed levels
+        # (ops/transfer.WindowedMatmulTransfer): fold the node<->window
+        # lane relayout into the banded x-axis transfer factor, removing
+        # one full relayout pass per restrict/prolongate in the windowed
+        # V-cycle body (the ~150 ms/roundtrip flagship glue,
+        # docs/tpu_r3/fmg_profile4.log).  MGT_WIN_TRANSFER=1 opt-in
+        # pending hardware A/B; requires the MatmulTransfer sp flavor.
+        self._win_transfers = {}
+        _wtr = _os.environ.get("MGT_WIN_TRANSFER")
+        if self._sp_win and _wtr not in (None, "", "0"):
+            from ..ops.transfer import (MatmulTransfer as _MMT,
+                                        WindowedMatmulTransfer)
+
+            for l, (opw, _) in self._sp_win.items():
+                if isinstance(self.transfers[l], _MMT):
+                    self._win_transfers[l] = WindowedMatmulTransfer(
+                        self.transfers[l], opw)
+
         self._fmg_jit = None
         self._cg_jit = None
         self._vmult_dp_jit = None
@@ -595,13 +613,20 @@ class MultigridSolver:
         lives in the dp kernel's windowed pair layout, whose hi plane IS
         the f32 defect)."""
         opw, smw = self._sp_win[level]
+        wt = self._win_transfers.get(level)
         upd = None
         for c in range(n_cyc):
             upd = smw.vmult(d) if upd is None else smw.step(upd, d)
             t = opw.resid_fused(upd, d)
-            dc = self.transfers[level].restrict(opw.from_windowed(t))
+            if wt is not None:
+                dc = wt.restrict_win(t)
+            else:
+                dc = self.transfers[level].restrict(opw.from_windowed(t))
             corr = self.v_cycle(level - 1, dc, 1)
-            cw = opw.to_windowed(self.transfers[level].prolongate(corr))
+            if wt is not None:
+                cw = wt.prolongate_win(corr)
+            else:
+                cw = opw.to_windowed(self.transfers[level].prolongate(corr))
             upd = upd + cw
             upd = smw.step(upd, d)
         return upd
