@@ -370,6 +370,27 @@ class PallasWindowedOzaki:
         y = jnp.where(self.interior, y, 0)
         return jnp.where(self.interior, rhs - y, rhs - lhs)
 
+    def residual_defect_win(self, rhs_w, lhs):
+        """Constrained f32 V-cycle defect in the sp windowed layout
+        [Z, Yp, G]: ``float(rhs - A lhs)`` on interior dofs, zero on the
+        boundary — the reference's dp-residual-to-sp rounding
+        (/root/reference/common/multigrid_solver.h:432-437) emitted
+        straight into the fused smoother's persistent layout.
+
+        ``rhs_w`` is the PRECOMPUTED windowed pair of the constrained rhs
+        (``to_windowed(where(interior, rhs, 0))``, built once per solve —
+        rhs is constant), so the pair->node->window roundtrip between the
+        dp residual and the windowed V-cycle disappears: the defect is the
+        hi plane of one elementwise compensated pair subtraction.  Both
+        operands are boundary-zero consistent windowed pairs, so the
+        result needs no further masking."""
+        from .df64 import df64_add
+
+        yw = self.vmult_windowed(
+            self.to_windowed(jnp.where(self.interior, lhs, 0)))
+        dh, _ = df64_add(rhs_w[:, 0], rhs_w[:, 1], -yw[:, 0], -yw[:, 1])
+        return dh
+
 
 class WindowedHybridOzaki:
     """Flagship dp operator: fused windowed Mosaic kernel + XLA fallback.

@@ -466,6 +466,8 @@ class MultigridSolver:
         # the stepped-CG programs close over _precond/_constrain too
         if hasattr(self, "_cg_step_cache"):
             self._cg_step_cache = {}
+        # device placement of the windowed-pair rhs follows the sharding
+        self._rhs_win = None
 
     def _impose_bc(self, faces, x: jnp.ndarray) -> jnp.ndarray:
         """Overwrite the Dirichlet boundary of ``x`` with the stored
@@ -632,10 +634,17 @@ class MultigridSolver:
         return upd
 
     # ----------------------------------------------------------------- FMG
-    def _fmg(self, rhs, u_bc):
+    def _fmg(self, rhs, u_bc, rhs_win=None):
         """Full multigrid: multigrid_solver.h:386-476.  ``rhs``/``u_bc`` are
         jit arguments (per-level lists): baking them into the closure would
-        serialize GBs of literals into the compile payload."""
+        serialize GBs of literals into the compile payload.
+
+        ``rhs_win`` (optional, {level: windowed pair of the constrained
+        rhs}): at windowed-smoother levels the dp residual is emitted
+        straight into the fused kernel's layout as an f32 defect
+        (PallasWindowedOzaki.residual_defect_win) and the V-cycle runs its
+        zero-relayout core — the pair->node->window roundtrip between
+        residual and smoother disappears (MGT_PAIR_FMG)."""
         sols = []
         d0 = rhs[0].astype(self.v_dtype)
         t = self.smoothers[0].vmult(d0)
@@ -646,23 +655,52 @@ class MultigridSolver:
             sol_bc = self._impose_bc(u_bc[l - 1], sol)
             sol = self._constrain(l, self.transfers_nobc[l].prolongate(sol_bc))
             sol = jnp.where(self.bmask[l], 0.0, sol)
-            res = self.dp_ops[l].vmult_residual(rhs[l], sol)
-            upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles)
+            if (rhs_win is not None and l in rhs_win
+                    and l in self._sp_win
+                    and self._constrain is self._constrain_default):
+                dw = self.dp_ops[l].win.residual_defect_win(rhs_win[l], sol)
+                updw = self._v_cycle_windowed_core(l, dw, self.n_cycles)
+                upd = self._sp_win[l][0].from_windowed(updw)
+            else:
+                res = self.dp_ops[l].vmult_residual(rhs[l], sol)
+                upd = self.v_cycle(l, res.astype(self.v_dtype), self.n_cycles)
             sol = sol + upd.astype(self.f_dtype)
             sols.append(sol)
         return sols
 
+    def _build_rhs_win(self):
+        """{level: windowed pair of the constrained rhs} for MGT_PAIR_FMG
+        (one-time setup work; rhs is constant across solves).  Only levels
+        where the dp windowed kernel and the sp windowed smoother share the
+        same padded window geometry qualify."""
+        import os as _os
+
+        if getattr(self, "_rhs_win", None) is not None:
+            return self._rhs_win
+        self._rhs_win = {}
+        if _os.environ.get("MGT_PAIR_FMG") in (None, "", "0"):
+            return self._rhs_win
+        for l, (opw, _) in self._sp_win.items():
+            w = getattr(self.dp_ops[l], "win", None)
+            if w is None or (w.cxp, w.Yp) != (opw.cxp, opw.Yp):
+                continue
+            self._rhs_win[l] = jax.jit(
+                lambda r, _w=w: _w.to_windowed(
+                    jnp.where(_w.interior, r, 0)))(self.rhs[l])
+        return self._rhs_win
+
     def solve(self) -> jnp.ndarray:
         """FMG solve; returns the finest-level solution incl. boundary
         values (cf. get_solution, multigrid_solver.h:376-382)."""
+        rhs_win = self._build_rhs_win()
         if self._fmg_jit is None:
             L = self.maxlevel
             # boundary reinstatement folded into the same program: one
             # dispatch per solve, and XLA fuses the where into the final
             # level's correction add (a full read+write pass saved)
-            self._fmg_jit = jax.jit(lambda rhs, ubc: self._impose_bc(
-                ubc[L], self._fmg(rhs, ubc)[-1]))
-        return self._fmg_jit(self.rhs, self.u_bc)
+            self._fmg_jit = jax.jit(lambda rhs, ubc, rw: self._impose_bc(
+                ubc[L], self._fmg(rhs, ubc, rw)[-1]))
+        return self._fmg_jit(self.rhs, self.u_bc, rhs_win)
 
     def solve_analyze(self, compute_errors: Optional[bool] = None):
         """FMG with per-level residual/error reporting

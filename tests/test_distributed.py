@@ -54,7 +54,7 @@ def test_distributed_fmg_and_cg_match_single_device(axes, single_device_results)
     # the compiled FMG must contain real inter-device communication: the
     # window-shift halos lower to collective-permute / all-to-all traffic and
     # the replicate-below-threshold coarse levels force gathers
-    hlo = s._fmg_jit.lower(s.rhs, s.u_bc).compile().as_text()
+    hlo = s._fmg_jit.lower(s.rhs, s.u_bc, s._build_rhs_win()).compile().as_text()
     assert any(c in hlo for c in
                ("collective-permute", "all-gather", "all-to-all",
                 "all-reduce")), "no collectives in compiled distributed FMG"

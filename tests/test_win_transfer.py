@@ -74,3 +74,29 @@ def test_solver_anchors_with_win_transfer(monkeypatch):
     sol_fmg = s.solve()
     err_fmg = s.l2_error(s.maxlevel, sol_fmg)
     assert abs(err_fmg - 4.065e-4) < 0.02 * 4.065e-4
+
+
+def test_pair_fmg_residual_handoff(monkeypatch):
+    """MGT_PAIR_FMG: the dp FMG residual is emitted straight into the
+    fused smoother's windowed layout (residual_defect_win) and the
+    V-cycle runs its zero-relayout core; the FMG L2 error must stay at
+    the transcript anchor (/root/reference/README.md:136-159)."""
+    monkeypatch.setenv("MGT_MATMUL_TRANSFER", "1")
+    monkeypatch.setenv("MGT_WIN_TRANSFER", "1")
+    monkeypatch.setenv("MGT_PAIR_FMG", "1")
+    from experiments.poisson_cube import build_solver
+
+    s = build_solver(poisson_cube_mesh(8), degree=4, n_cycles=2,
+                     sp_impl="pallas_windowed", dp_impl="pallas_windowed")
+    assert s._build_rhs_win(), "pair-FMG rhs not installed"
+    sol = s.solve()
+    err = s.l2_error(s.maxlevel, sol)
+    assert abs(err - 4.065e-4) < 0.02 * 4.065e-4
+    # the defect handoff must agree with the node path to f32 rounding
+    s2 = build_solver(poisson_cube_mesh(8), degree=4, n_cycles=2,
+                      sp_impl="pallas_windowed", dp_impl="pallas_windowed")
+    monkeypatch.setenv("MGT_PAIR_FMG", "0")
+    s2._rhs_win = None
+    sol2 = s2.solve()
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol2),
+                               rtol=0, atol=2e-6 * float(np.abs(sol2).max()))
