@@ -71,7 +71,9 @@ def main():
     else:
         shapes = [(4, 4, 128), (4, 128, 128), (64, 4, 128), (16, 16, 128),
                   # zero-padded window geometry (cxp = 128 > cx)
-                  (8, 8, 80), (4, 8, 96), (4, 4, 112)]
+                  (8, 8, 80), (4, 8, 96), (4, 4, 112),
+                  # 2.0x pad ratio (the default since bench_pad2)
+                  (8, 8, 64), (4, 16, 72)]
     ok = all([check(s) for s in shapes])
     print("ALL OK" if ok else "MISMATCH FOUND")
 

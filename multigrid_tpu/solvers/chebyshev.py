@@ -24,6 +24,7 @@ applications, ``step`` costs ``degree`` of each.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -64,6 +65,39 @@ def eig_estimate_start_vector(shape, dtype, mask=None) -> jnp.ndarray:
     return build()
 
 
+def _lanczos_init(precond: Callable, rhs: jnp.ndarray):
+    z0 = precond(rhs)
+    rz0 = _vdot(rhs, z0)
+    # stop contributing once CG has converged to rounding level (the
+    # reference's full-size coarse-level estimate relies on deal.II's
+    # CG stopping early; stagnated Lanczos tails would pollute T)
+    eps = jnp.finfo(rhs.dtype).eps
+    floor = (100.0 * eps) ** 2 * rz0
+    return (rhs, z0, rz0, jnp.asarray(True)), floor
+
+
+def _lanczos_step(vmult: Callable, precond: Callable, floor, carry):
+    """One CG-Lanczos iteration (shared by the scan and host-stepped
+    sweeps — the recurrences MUST stay identical)."""
+    r, p, rz, valid = carry
+    q = vmult(p)
+    pq = _vdot(p, q)
+    ok = valid & (pq > 0) & (rz > floor)
+    alpha = jnp.where(ok, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
+    r2 = r - alpha * q
+    z = precond(r2)
+    rz2 = _vdot(r2, z)
+    beta = jnp.where(ok, rz2 / jnp.where(rz == 0, 1.0, rz), 0.0)
+    p2 = z + beta * p
+    carry = (
+        jnp.where(ok, r2, r),
+        jnp.where(ok, p2, p),
+        jnp.where(ok, rz2, rz),
+        ok & (rz2 > 0),
+    )
+    return carry, (alpha, beta, ok)
+
+
 def lanczos_body(
     vmult: Callable,
     precond: Callable,
@@ -74,36 +108,46 @@ def lanczos_body(
     coefficient streams (alphas, betas, validity mask).  Kept jit-free so
     callers can bake it into larger jitted programs with the operator's
     coefficients as ARGUMENTS (one compile across Newton steps)."""
-    z0 = precond(rhs)
-    rz0 = _vdot(rhs, z0)
-    # stop contributing once CG has converged to rounding level (the
-    # reference's full-size coarse-level estimate relies on deal.II's
-    # CG stopping early; stagnated Lanczos tails would pollute T)
-    eps = jnp.finfo(rhs.dtype).eps
-    floor = (100.0 * eps) ** 2 * rz0
-
-    def step(carry, _):
-        r, p, rz, valid = carry
-        q = vmult(p)
-        pq = _vdot(p, q)
-        ok = valid & (pq > 0) & (rz > floor)
-        alpha = jnp.where(ok, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
-        r2 = r - alpha * q
-        z = precond(r2)
-        rz2 = _vdot(r2, z)
-        beta = jnp.where(ok, rz2 / jnp.where(rz == 0, 1.0, rz), 0.0)
-        p2 = z + beta * p
-        carry = (
-            jnp.where(ok, r2, r),
-            jnp.where(ok, p2, p),
-            jnp.where(ok, rz2, rz),
-            ok & (rz2 > 0),
-        )
-        return carry, (alpha, beta, ok)
-
-    carry = (rhs, z0, rz0, jnp.asarray(True))
-    _, (alphas, betas, oks) = jax.lax.scan(step, carry, None, length=n_iterations)
+    carry, floor = _lanczos_init(precond, rhs)
+    _, (alphas, betas, oks) = jax.lax.scan(
+        lambda c, _: _lanczos_step(vmult, precond, floor, c),
+        carry, None, length=n_iterations)
     return alphas, betas, oks
+
+
+def lanczos_host_stepped(
+    vmult: Callable,
+    precond: Callable,
+    n_iterations: int,
+    rhs: jnp.ndarray,
+):
+    """Host-stepped CG-Lanczos for the LONG coarse-level estimates (the
+    reference runs the coarsest estimate to the full matrix size,
+    /root/reference/common/multigrid_solver.h:284).  A length-n
+    ``lax.scan`` over the tiny coarse operator is a pathological XLA:TPU
+    compile — measured 982 s at n = 125 dofs on the remote-compile path
+    (docs/tpu_r3/bench_setuptiming.log) — while one stepped iteration
+    compiles in ~1 s.  The step writes its (alpha, beta, ok) stream into
+    donated device buffers, dispatches queue asynchronously, and the
+    host syncs ONCE at the end; the recurrence is _lanczos_step, shared
+    with the scan path (identical math)."""
+    carry0, floor = jax.jit(lambda r: _lanczos_init(precond, r))(rhs)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, floor):
+        carry, alphas, betas, oks, i = state
+        carry, (a, b, ok) = _lanczos_step(vmult, precond, floor, carry)
+        alphas = jax.lax.dynamic_update_index_in_dim(alphas, a, i, 0)
+        betas = jax.lax.dynamic_update_index_in_dim(betas, b, i, 0)
+        oks = jax.lax.dynamic_update_index_in_dim(oks, ok, i, 0)
+        return (carry, alphas, betas, oks, i + 1)
+
+    dt = rhs.dtype
+    state = (carry0, jnp.zeros(n_iterations, dt), jnp.zeros(n_iterations, dt),
+             jnp.zeros(n_iterations, bool), jnp.asarray(0, jnp.int32))
+    for _ in range(n_iterations):
+        state = step(state, floor)
+    return state[1], state[2], state[3]
 
 
 def tridiag_extremes(alphas_d, betas_d, oks) -> tuple[float, float]:
@@ -149,6 +193,21 @@ def estimate_eigenvalues(
     """
     import os
     import time
+
+    if (n_iterations > 64
+            and os.environ.get("MGT_EIG_SCAN") in (None, "", "0")):
+        # long coarse-level estimates: host-stepped (see
+        # lanczos_host_stepped — kills a pathological length-n scan
+        # compile on XLA:TPU)
+        t0 = time.perf_counter()
+        alphas_d, betas_d, oks = lanczos_host_stepped(
+            vmult, precond, n_iterations, rhs)
+        oks = jax.block_until_ready(oks)
+        if os.environ.get("MGT_SETUP_TIMING"):
+            print(f"#   eig-estimate n={rhs.size} (host-stepped, "
+                  f"{n_iterations} its): {time.perf_counter()-t0:.2f} s",
+                  flush=True)
+        return tridiag_extremes(alphas_d, betas_d, oks)
 
     run = jax.jit(lambda r: lanczos_body(vmult, precond, n_iterations, r))
     if os.environ.get("MGT_SETUP_TIMING"):

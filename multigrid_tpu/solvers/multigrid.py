@@ -42,12 +42,12 @@ def _win_cx_ok(cx: int) -> bool:
     ``cx`` cells along x.  Exact multiples of the 128 lane tile always
     qualify; other widths run on a zero-padded window geometry
     (ops/pallas_windowed_sp.PallasWindowedSP pad docs) when the padding
-    waste stays under 1.6x — below that the ~3x fused-kernel advantage
-    over the XLA paths still nets out (cx >= 80 for one tile).
+    waste stays under 2.0x — even at 2x pad the fused kernels net out
+    over the XLA fallbacks (hardware A/B 2026-08-19: flagship FMG
+    0.781 s with the 64-cell L6 admitted vs 0.795 s without, same L2,
+    docs/tpu_r3/bench_pad2.log; cx >= 64 for one tile).
     ``MGT_WIN_PAD=0`` restricts engagement to exact multiples; any other
-    numeric value overrides the max pad ratio (e.g. ``MGT_WIN_PAD=2.0``
-    admits the 64-cell mid-levels of the flagship ladder — hardware A/B
-    knob)."""
+    numeric value overrides the max pad ratio."""
     import os
 
     if cx % 128 == 0:
@@ -55,7 +55,7 @@ def _win_cx_ok(cx: int) -> bool:
     env = os.environ.get("MGT_WIN_PAD", "1")
     if env in ("", "0"):
         return False
-    max_ratio = 1.6 if env == "1" else float(env)
+    max_ratio = 2.0 if env == "1" else float(env)
     cxp = -(-cx // 128) * 128
     return cxp / cx <= max_ratio
 
