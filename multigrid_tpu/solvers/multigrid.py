@@ -423,11 +423,15 @@ class MultigridSolver:
         # lane relayout into the banded x-axis transfer factor, removing
         # one full relayout pass per restrict/prolongate in the windowed
         # V-cycle body (the ~150 ms/roundtrip flagship glue,
-        # docs/tpu_r3/fmg_profile4.log).  MGT_WIN_TRANSFER=1 opt-in
-        # pending hardware A/B; requires the MatmulTransfer sp flavor.
+        # docs/tpu_r3/fmg_profile4.log).  TPU default: hardware A/B
+        # 2026-08-19 measured flagship FMG 0.746 s vs 0.801 s, same L2
+        # error (docs/tpu_r3/bench_wt.log).  MGT_WIN_TRANSFER=0/1
+        # overrides either way; requires the MatmulTransfer sp flavor.
         self._win_transfers = {}
         _wtr = _os.environ.get("MGT_WIN_TRANSFER")
-        if self._sp_win and _wtr not in (None, "", "0"):
+        _use_wtr = (jax.default_backend() == "tpu" if _wtr is None
+                    else _wtr not in ("", "0"))
+        if self._sp_win and _use_wtr:
             from ..ops.transfer import (MatmulTransfer as _MMT,
                                         WindowedMatmulTransfer)
 
@@ -678,7 +682,13 @@ class MultigridSolver:
         if getattr(self, "_rhs_win", None) is not None:
             return self._rhs_win
         self._rhs_win = {}
-        if _os.environ.get("MGT_PAIR_FMG") in (None, "", "0"):
+        # TPU default: hardware A/B 2026-08-19 measured flagship FMG
+        # 0.7075 s (with MGT_WIN_TRANSFER) vs 0.746 s without the pair
+        # handoff, same L2 error (docs/tpu_r3/bench_wtpair.log).
+        _pf = _os.environ.get("MGT_PAIR_FMG")
+        _use_pf = (jax.default_backend() == "tpu" if _pf is None
+                   else _pf not in ("", "0"))
+        if not _use_pf:
             return self._rhs_win
         for l, (opw, _) in self._sp_win.items():
             w = getattr(self.dp_ops[l], "win", None)

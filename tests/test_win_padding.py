@@ -144,13 +144,18 @@ def test_win_cx_ok_gating():
 
     assert _win_cx_ok(128) and _win_cx_ok(256)
     assert _win_cx_ok(80) and _win_cx_ok(96) and _win_cx_ok(112)
-    assert not _win_cx_ok(64)    # 2x pad waste
-    assert not _win_cx_ok(40)
+    assert _win_cx_ok(64)        # pad ratio exactly 2.0 = the default cap
+    assert not _win_cx_ok(40)    # 3.2x pad waste
     import os
 
     os.environ["MGT_WIN_PAD"] = "0"
     try:
         assert not _win_cx_ok(96)
         assert _win_cx_ok(128)
+    finally:
+        del os.environ["MGT_WIN_PAD"]
+    os.environ["MGT_WIN_PAD"] = "1.6"
+    try:
+        assert _win_cx_ok(96) and not _win_cx_ok(64)
     finally:
         del os.environ["MGT_WIN_PAD"]
