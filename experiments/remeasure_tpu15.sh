@@ -51,6 +51,11 @@ MGT_WIN_PAD=1.6 phase bench_pad16ctl 2700 python bench.py
 # 3. Fresh per-level FMG decomposition under the new defaults.
 phase fmg_profile5 4800 python experiments/fmg_profile.py 128 5
 
+# 3b. Reduced-limb dp transfer A/B (MGT_DPMM_LIMBS=5: 2^-35 per line,
+#     contracted by the V-cycle to ~6e-13 in the FMG solution; the L7
+#     prolongate's triangular passes drop 28 -> 15).  L2 host-guarded.
+MGT_DPMM_LIMBS=5 phase bench_limbs5 2700 python bench.py
+
 # 4. Mid-ladder on the committed defaults (the RESULTS_R3 table rows).
 phase ladder_mid_def15 7200 python experiments/poisson_cube.py \
     4 30000000 100000000 2 2 2 square

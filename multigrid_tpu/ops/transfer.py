@@ -374,20 +374,38 @@ class OzakiMatmulTransfer(Transfer):
     accumulation holds because a banded row contributes at most
     2*(p+1) nonzero products per group term — the dense zeros add exactly.
 
-    Accuracy: ~2^-49 relative to the per-line max (the dp operator's own
-    guarantee), vs the elementwise-relative df64 path; both are ~5 orders
-    below the discretization-accuracy needs of the FMG dp prolongate
+    Accuracy: ~2^(-7*n_limbs) relative to the per-line max (2^-49 at the
+    7-limb default — the dp operator's own guarantee), vs the
+    elementwise-relative df64 path; both are ~5 orders below the
+    discretization-accuracy needs of the FMG dp prolongate
     (/root/reference/common/multigrid_solver.h:415).
+
+    ``MGT_DPMM_LIMBS`` (default 7) trades accuracy for speed: the FMG
+    V-cycle pair after each prolongation contracts any prolongation
+    perturbation by its residual-reduction factor (~0.14^2 at 2 cycles),
+    so a 5-limb transfer (2^-35 per line -> ~6e-13 effective in the FMG
+    solution) still sits 3 orders below the flagship discretization error
+    while cutting the triangular matmul passes 28 -> 15 and the df64
+    accumulation chain 6 -> 4.
     """
 
     _N_LIMBS = 7
     _MAX_M = 6
 
     def __init__(self, fine: DofGrid, coarse: DofGrid, dtype=jnp.float64,
-                 constrained: bool = True):
+                 constrained: bool = True, n_limbs: int | None = None):
         super().__init__(fine, coarse, dtype, constrained)
         assert self._df64, "OzakiMatmulTransfer is the dp flavor"
+        import os
+
         from .laplace_dense import _LIMB_BITS
+
+        if n_limbs is None:
+            env = os.environ.get("MGT_DPMM_LIMBS")
+            n_limbs = self._N_LIMBS if env in (None, "", "0") else int(env)
+        assert 2 <= n_limbs <= 7, n_limbs
+        self._N_LIMBS = n_limbs
+        self._MAX_M = n_limbs - 1
 
         b = fine.basis
         p = fine.degree
