@@ -803,9 +803,26 @@ class MultigridSolver:
         reduction_per_iteration).  Above ~64M dofs the iteration is stepped
         from the host with donated carries (see cg_solve_stepped); with the
         windowed hybrid dp operator installed (dp_impl="pallas_windowed")
-        the stepped CG runs pair-native on persistent windowed vectors."""
+        the stepped CG runs pair-native on persistent windowed vectors.
+
+        Padded window geometries carry their pad waste into EVERY CG
+        dp matvec, pair axpy and pair dot (8 iterations at rtol 1e-9),
+        unlike FMG whose dp work is once per level — hardware A/B
+        2026-08-19 (docs/tpu_r3/ladder_mid_pad.log vs the XLA-fallback
+        rows): pair-CG wins at 1.14x pad (90.5M: 2.38 vs 3.38 s) but
+        loses at 1.33x/1.6x (57M: 2.50 vs 1.97 s; 33M: 1.48 vs 1.22 s).
+        ``MGT_PAIR_CG_PAD`` (default 1.25) caps the pad ratio for the
+        pair-native CG path; beyond it the node-grid CG paths run."""
+        import os as _os
+
         L = self.maxlevel
-        if getattr(self.dp_ops[L], "win", None) is not None:
+        _win = getattr(self.dp_ops[L], "win", None)
+        if _win is not None and not _win.interpret:
+            _env = _os.environ.get("MGT_PAIR_CG_PAD")
+            _cap = 1.25 if _env in (None, "") else float(_env)
+            if _win.cxp / self.grids[L].cells[2] > _cap:
+                _win = None
+        if _win is not None:
             from .cg import cg_solve_stepped_pair
 
             if not hasattr(self, "_cg_step_cache"):

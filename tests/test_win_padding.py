@@ -159,3 +159,38 @@ def test_win_cx_ok_gating():
         assert _win_cx_ok(96) and not _win_cx_ok(64)
     finally:
         del os.environ["MGT_WIN_PAD"]
+
+
+def test_pair_cg_pad_gate(monkeypatch):
+    """MGT_PAIR_CG_PAD: the pair-native CG path is skipped when the
+    window pad ratio exceeds the cap (hardware evidence: pad waste taxes
+    every CG matvec/axpy/dot — docs/tpu_r3/ladder_mid_pad.log), and the
+    node-grid CG fallback still solves correctly."""
+    from experiments.poisson_cube import exact_fn, rhs_fn
+    from multigrid_tpu.solvers import cg as cg_mod
+    from multigrid_tpu.solvers.multigrid import MultigridSolver
+
+    mesh = BrickMesh(coarse_cells=(2, 2, 3), origin=(0.0,) * 3,
+                     lengths=(1.0,) * 3, n_levels=2)
+    solver = MultigridSolver(mesh, degree=4, exact_fn=exact_fn,
+                             rhs_fn=rhs_fn, n_pre=2, n_post=2,
+                             dp_impl="pallas_windowed")
+    w = solver.dp_ops[solver.maxlevel].win
+    cx = solver.grids[solver.maxlevel].cells[2]
+    # pretend we are on hardware with a padded geometry (interpret mode
+    # is exempt from the gate; the gate reads only cxp and interpret)
+    monkeypatch.setattr(w, "cxp", 8)
+    assert w.cxp / cx > 1.25
+    monkeypatch.setattr(w, "interpret", False)
+
+    def _boom(*a, **k):
+        raise AssertionError("pair CG path taken despite pad gate")
+
+    monkeypatch.setattr(cg_mod, "cg_solve_stepped_pair", _boom)
+    sol, its, red = solver.solve_cg(rtol=1e-9)
+    err = float(solver.l2_error(solver.maxlevel, sol))
+    assert its in (7, 8, 9) and err < 1e-2, (its, err)
+    # cap override re-admits the pair path (sentinel must then trip)
+    monkeypatch.setenv("MGT_PAIR_CG_PAD", "99")
+    with pytest.raises(AssertionError, match="pair CG path"):
+        solver.solve_cg(rtol=1e-9)
