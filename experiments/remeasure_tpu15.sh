@@ -60,6 +60,12 @@ MGT_DPMM_LIMBS=5 phase bench_limbs5 2700 python bench.py
 phase ladder_mid_def15 7200 python experiments/poisson_cube.py \
     4 30000000 100000000 2 2 2 square
 
+# 4b. Flagship row on the committed defaults: refreshes the CG number
+#     (the pair-CG preconditioner V-cycle rides the composed windowed
+#     transfers too; the recorded 3.464 s predates them).
+phase ladder_flagship15 5400 python experiments/poisson_cube.py \
+    4 130000000 140000000 2 2 2 square
+
 # 5. Shell ladders (gap #1): resume the df64 ladder past cycle 6, then
 #    the pure-double/fourth-kind arm.
 phase shell_df64_r15 12000 python experiments/poisson_shell.py \
