@@ -127,10 +127,15 @@ class PallasWindowedOzaki:
 
     def from_windowed(self, w: jnp.ndarray) -> jnp.ndarray:
         """Windowed pair [Z, 2, Yp, G] -> f64 node grid [Z, Y, X]."""
+        return self.from_windowed_pair(w[:, 0], w[:, 1])
+
+    def from_windowed_pair(self, wh: jnp.ndarray,
+                           wl: jnp.ndarray) -> jnp.ndarray:
+        """(hi, lo) windowed planes [Z, Yp, G] -> f64 node grid."""
         Y = self.Y
         xm = self.xmap
-        return join_f64(xm.unwin(w[:, 0, :Y], self.interpret),
-                        xm.unwin(w[:, 1, :Y], self.interpret))[..., : self.X]
+        return join_f64(xm.unwin(wh[:, :Y], self.interpret),
+                        xm.unwin(wl[:, :Y], self.interpret))[..., : self.X]
 
     def dup_weights(self) -> jnp.ndarray:
         """[G] weights for inner products on windowed vectors: j=p slots are
@@ -388,6 +393,15 @@ class PallasWindowedOzaki:
 
         yw = self.vmult_windowed(
             self.to_windowed(jnp.where(self.interior, lhs, 0)))
+        dh, _ = df64_add(rhs_w[:, 0], rhs_w[:, 1], -yw[:, 0], -yw[:, 1])
+        return dh
+
+    def residual_defect_win_pair(self, rhs_w, lhs_w):
+        """:meth:`residual_defect_win` with the prolongated dp solution
+        ALREADY in the windowed pair layout (interior-masked, consistent
+        duplicates — ops/transfer.OzakiWindowedProlongate): the node grid
+        never materializes between the FMG transfer and the V-cycle."""
+        yw = self.vmult_windowed(lhs_w)
         dh, _ = df64_add(rhs_w[:, 0], rhs_w[:, 1], -yw[:, 0], -yw[:, 1])
         return dh
 

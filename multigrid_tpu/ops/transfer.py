@@ -380,13 +380,18 @@ class OzakiMatmulTransfer(Transfer):
     discretization-accuracy needs of the FMG dp prolongate
     (/root/reference/common/multigrid_solver.h:415).
 
-    ``MGT_DPMM_LIMBS`` (default 7) trades accuracy for speed: the FMG
-    V-cycle pair after each prolongation contracts any prolongation
-    perturbation by its residual-reduction factor (~0.14^2 at 2 cycles),
-    so a 5-limb transfer (2^-35 per line -> ~6e-13 effective in the FMG
-    solution) still sits 3 orders below the flagship discretization error
-    while cutting the triangular matmul passes 28 -> 15 and the df64
-    accumulation chain 6 -> 4.
+    ``MGT_DPMM_LIMBS`` trades accuracy for speed: the FMG V-cycle pair
+    after each prolongation contracts any prolongation perturbation by
+    its residual-reduction factor (~0.14^2 at 2 cycles), so a 5-limb
+    transfer (2^-35 per line -> ~6e-13 effective in the FMG solution)
+    still sits 3 orders below the flagship discretization error while
+    cutting the triangular matmul passes 28 -> 15 and the df64
+    accumulation chain 6 -> 4.  TPU default is 5: hardware A/B 2026-08-19
+    measured flagship FMG 0.6596 s vs 0.7067 s at 7 limbs, identical L2
+    error 4.369e-10 under bench.py's host-side guard
+    (docs/tpu_r3/bench_limbs5.log).  Off-TPU the default stays 7 (the
+    CPU regression tier pins the dp transfer at df64-class 1e-14
+    accuracy, and only the MXU makes the extra limbs costly).
     """
 
     _N_LIMBS = 7
@@ -402,12 +407,17 @@ class OzakiMatmulTransfer(Transfer):
 
         if n_limbs is None:
             env = os.environ.get("MGT_DPMM_LIMBS")
-            n_limbs = self._N_LIMBS if env in (None, "", "0") else int(env)
+            if env in (None, "", "0"):
+                import jax as _jax
+
+                n_limbs = (5 if _jax.default_backend() == "tpu"
+                           else self._N_LIMBS)
+            else:
+                n_limbs = int(env)
         assert 2 <= n_limbs <= 7, n_limbs
         self._N_LIMBS = n_limbs
         self._MAX_M = n_limbs - 1
 
-        b = fine.basis
         p = fine.degree
         # the banded accumulation bound (see class docstring)
         assert (2 * _LIMB_BITS
@@ -415,20 +425,27 @@ class OzakiMatmulTransfer(Transfer):
         self._gp = []   # prolongate: contract coarse axis, A = M^T
         self._gr = []   # restrict:   contract fine axis,   A = M
         for d in range(fine.dim):
-            ncc = coarse.cells[d]
-            Xf, Xc = 2 * p * ncc + 1, p * ncc + 1
-            S = np.zeros((Xf, Xc))
-            for c in range(ncc):
-                S[2 * p * c: 2 * p * c + 2 * p + 1,
-                  p * c: p * c + p + 1] += np.asarray(b.P, np.float64)
-            w = np.ones(Xf)
-            if ncc > 1:
-                w[2 * p: -1: 2 * p] = 0.5
-            M = w[:, None] * S
+            M = self._banded_axis_matrix(d)
             self._gp.append(_ozaki_band_groups(
                 M.T, self._N_LIMBS, self._MAX_M))
             self._gr.append(_ozaki_band_groups(
                 M, self._N_LIMBS, self._MAX_M))
+
+    def _banded_axis_matrix(self, d: int) -> np.ndarray:
+        """Host f64 banded transfer factor M_d = W_d S_d for axis ``d``
+        (the MatmulTransfer factor, incl. touch-count weights)."""
+        b = self.fine.basis
+        p = self.fine.degree
+        ncc = self.coarse.cells[d]
+        Xf, Xc = 2 * p * ncc + 1, p * ncc + 1
+        S = np.zeros((Xf, Xc))
+        for c in range(ncc):
+            S[2 * p * c: 2 * p * c + 2 * p + 1,
+              p * c: p * c + p + 1] += np.asarray(b.P, np.float64)
+        w = np.ones(Xf)
+        if ncc > 1:
+            w[2 * p: -1: 2 * p] = 0.5
+        return w[:, None] * S
 
     @staticmethod
     def _limb_split_pair(xh, xl, n_limbs):
@@ -455,12 +472,15 @@ class OzakiMatmulTransfer(Transfer):
                  ).astype(jnp.bfloat16))
         return sigma, limbs
 
-    def _axis_mm_pair(self, xh, xl, d: int, restrict: bool):
-        """One banded axis contraction on an f32 pair, df64-accurate."""
+    def _axis_mm_pair(self, xh, xl, d: int, restrict: bool, grp=None):
+        """One banded axis contraction on an f32 pair, df64-accurate.
+        ``grp`` overrides the factor groups (OzakiWindowedProlongate's
+        masked/window-composed factors)."""
         from .df64 import df64_add
         from .laplace_dense import _LIMB_BITS
 
-        sigma_A, groups = (self._gr if restrict else self._gp)[d]
+        sigma_A, groups = ((self._gr if restrict else self._gp)[d]
+                           if grp is None else grp)
         K = groups[0].shape[0]
         shape_in = xh.shape
         xh = jnp.moveaxis(xh, d, -1).reshape(-1, K)
@@ -509,3 +529,63 @@ class OzakiMatmulTransfer(Transfer):
         if self.constrained:
             uc = jnp.where(self.coarse_interior, uc, 0)
         return uc
+
+
+class OzakiWindowedProlongate(OzakiMatmulTransfer):
+    """dp FMG solution prolongation emitted straight into the fused dp
+    kernel's windowed pair layout ``[Z, 2, Yp, G]``.
+
+    The FMG per-level step (/root/reference/common/multigrid_solver.h:
+    404-456) prolongates the dp solution, interior-masks it, and feeds it
+    to the dp residual.  With the pair residual handoff (MGT_PAIR_FMG,
+    PallasWindowedOzaki.residual_defect_win) that costs a join_f64 +
+    where + split_f64 + node->window relayout roundtrip over the full
+    fine grid between the transfer and the kernel.  This flavor removes
+    all of it: the fine-interior mask is separable and absorbed into the
+    per-axis banded factor rows (zeroed boundary rows, exact), and the
+    x-axis factor is composed with the 0/1 window permutation
+    (WindowedMatmulTransfer's trick, exact in f64 on the host — columns
+    of the composed factor are copies of masked banded columns, so the
+    exact-accumulation band bound is unchanged), so the third axis
+    contraction EMITS window lanes and the (hi, lo) pair never leaves
+    the pair representation.  Duplicate window slots get bit-identical
+    values (identical composed columns) and pad slots exact zeros — the
+    consistency invariants ``vmult_windowed`` assumes.
+
+    Accuracy class: identical to :class:`OzakiMatmulTransfer` (same limb
+    scheme, same factor values, one fewer f64 rounding at the node
+    materialization it skips)."""
+
+    def __init__(self, fine: DofGrid, coarse: DofGrid, win,
+                 n_limbs: int | None = None):
+        super().__init__(fine, coarse, jnp.float64, constrained=False,
+                         n_limbs=n_limbs)
+        assert fine.dim == 3
+        assert (fine.shape[0], fine.shape[1]) == (win.Z, win.Y)
+        self._win = win
+        self._Yp = win.Yp
+        mf = [np.asarray(a, np.float64) for a in self._fine_axes]
+        Mm = [mf[d][:, None] * self._banded_axis_matrix(d)
+              for d in range(3)]
+        Pw, _ = win.xmap._mats()                        # [Xp, G] 0/1
+        Ax = np.zeros((Mm[2].shape[1], win.Xp))         # [Xc, Xp]
+        Ax[:, : fine.shape[2]] = Mm[2].T
+        self._gpw = [
+            _ozaki_band_groups(Mm[0].T, self._N_LIMBS, self._MAX_M),
+            _ozaki_band_groups(Mm[1].T, self._N_LIMBS, self._MAX_M),
+            _ozaki_band_groups(Ax @ np.asarray(Pw, np.float64),
+                               self._N_LIMBS, self._MAX_M),
+        ]
+
+    def prolongate_win(self, u_coarse: jnp.ndarray) -> jnp.ndarray:
+        """Coarse node grid (incl. boundary values — the inhomogeneous
+        lift) -> interior-masked fine windowed pair [Z, 2, Yp, G]."""
+        from .df64 import split_f64
+
+        xh, xl = split_f64(u_coarse)
+        for d in range(3):
+            xh, xl = self._axis_mm_pair(xh, xl, d, restrict=False,
+                                        grp=self._gpw[d])
+        w = jnp.stack([xh, xl], axis=1)                 # [Z, 2, Y, G]
+        return jnp.pad(
+            w, ((0, 0), (0, 0), (0, self._Yp - w.shape[2]), (0, 0)))

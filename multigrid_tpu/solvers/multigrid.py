@@ -657,6 +657,13 @@ class MultigridSolver:
         sols.append(sol)
         for l in range(1, self.maxlevel + 1):
             sol_bc = self._impose_bc(u_bc[l - 1], sol)
+            if (rhs_win is not None and l in rhs_win
+                    and l in getattr(self, "_pro_win", {})
+                    and l in self._sp_win
+                    and self._constrain is self._constrain_default):
+                sol = self._fmg_level_pair(l, sol_bc, rhs_win)
+                sols.append(sol)
+                continue
             sol = self._constrain(l, self.transfers_nobc[l].prolongate(sol_bc))
             sol = jnp.where(self.bmask[l], 0.0, sol)
             if (rhs_win is not None and l in rhs_win
@@ -671,6 +678,23 @@ class MultigridSolver:
             sol = sol + upd.astype(self.f_dtype)
             sols.append(sol)
         return sols
+
+    def _fmg_level_pair(self, l: int, sol_bc, rhs_win):
+        """One FMG level step with the solution kept in the dp kernel's
+        windowed pair layout end-to-end (MGT_PAIR_FMG_PRO): masked
+        window-composed pair prolongation (OzakiWindowedProlongate) ->
+        in-layout dp residual -> zero-relayout V-cycle core -> pair
+        correction add; the f64 node grid materializes ONCE, at exit.
+        Same math as the node branch in :meth:`_fmg` (the composed factor
+        values are an exact host-f64 permutation of the banded ones)."""
+        from ..ops.df64 import df64_add
+
+        win = self.dp_ops[l].win
+        sw = self._pro_win[l].prolongate_win(sol_bc)
+        dw = win.residual_defect_win_pair(rhs_win[l], sw)
+        updw = self._v_cycle_windowed_core(l, dw, self.n_cycles)
+        sh, sl = df64_add(sw[:, 0], sw[:, 1], updw, jnp.zeros_like(updw))
+        return win.from_windowed_pair(sh, sl)
 
     def _build_rhs_win(self):
         """{level: windowed pair of the constrained rhs} for MGT_PAIR_FMG
@@ -699,10 +723,36 @@ class MultigridSolver:
                     jnp.where(_w.interior, r, 0)))(self.rhs[l])
         return self._rhs_win
 
+    def _build_pro_win(self, rhs_win):
+        """{level: OzakiWindowedProlongate} for MGT_PAIR_FMG_PRO: keep the
+        FMG solution in the dp windowed pair layout through prolongate ->
+        residual -> correction add (setup-time factor build; qualifies
+        exactly where the pair residual handoff does)."""
+        import os as _os
+
+        if getattr(self, "_pro_win", None) is not None:
+            return self._pro_win
+        self._pro_win = {}
+        # default OFF pending the hardware A/B (repo rule: measure, then
+        # flip; the sweep runs MGT_PAIR_FMG_PRO=1 bench vs the committed
+        # defaults)
+        _pp = _os.environ.get("MGT_PAIR_FMG_PRO")
+        _use = _pp not in (None, "", "0")
+        if not (_use and rhs_win):
+            return self._pro_win
+        from ..ops.transfer import OzakiWindowedProlongate
+
+        for l in rhs_win:
+            w = self.dp_ops[l].win
+            self._pro_win[l] = OzakiWindowedProlongate(
+                self.grids[l], self.grids[l - 1], w)
+        return self._pro_win
+
     def solve(self) -> jnp.ndarray:
         """FMG solve; returns the finest-level solution incl. boundary
         values (cf. get_solution, multigrid_solver.h:376-382)."""
         rhs_win = self._build_rhs_win()
+        self._build_pro_win(rhs_win)
         if self._fmg_jit is None:
             L = self.maxlevel
             # boundary reinstatement folded into the same program: one

@@ -76,6 +76,70 @@ def test_solver_anchors_with_win_transfer(monkeypatch):
     assert abs(err_fmg - 4.065e-4) < 0.02 * 4.065e-4
 
 
+@pytest.mark.parametrize("cells,pad_to", [((2, 3, 2), None),
+                                          ((3, 2, 3), 8)])
+def test_pair_prolongate_matches_node_path(cells, pad_to):
+    """OzakiWindowedProlongate vs the node-path oracle: unconstrained dp
+    prolongate -> interior mask -> to_windowed.  The composed factors are
+    exact host-f64 permutations of the banded ones, so agreement is to
+    pair-rounding (the oracle rounds through one f64 join the composed
+    path skips)."""
+    import jax
+
+    from multigrid_tpu.ops.pallas_windowed import PallasWindowedOzaki
+    from multigrid_tpu.ops.transfer import (OzakiMatmulTransfer,
+                                            OzakiWindowedProlongate)
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64")
+    coarse, fine = two_level_grids(cells)
+    win = PallasWindowedOzaki(fine, interpret=True, pad_to=pad_to)
+    base = OzakiMatmulTransfer(fine, coarse, jnp.float64, constrained=False)
+    pro = OzakiWindowedProlongate(fine, coarse, win)
+    rng = np.random.default_rng(3)
+    c = jnp.asarray(rng.standard_normal(coarse.shape))
+
+    ref_w = win.to_windowed(jnp.where(win.interior, base.prolongate(c), 0))
+    got_w = np.asarray(pro.prolongate_win(c))
+    ref = np.asarray(ref_w[:, 0], np.float64) + np.asarray(ref_w[:, 1],
+                                                           np.float64)
+    got = got_w[:, 0].astype(np.float64) + got_w[:, 1].astype(np.float64)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, atol=1e-13 * scale)
+    # duplicate-slot consistency + exact pad zeros (vmult_windowed input
+    # invariants)
+    node = win.from_windowed_pair(jnp.asarray(got_w[:, 0]),
+                                  jnp.asarray(got_w[:, 1]))
+    rt = win.to_windowed(node)
+    np.testing.assert_allclose(np.asarray(rt[:, 0]) + np.asarray(rt[:, 1]),
+                               got, atol=1e-13 * scale)
+
+
+def test_pair_fmg_prolongate_end_to_end(monkeypatch):
+    """MGT_PAIR_FMG_PRO: the FMG solution rides the dp windowed pair
+    layout through prolongate -> residual -> correction add; L2 anchor
+    and agreement with the node path must hold."""
+    monkeypatch.setenv("MGT_MATMUL_TRANSFER", "1")
+    monkeypatch.setenv("MGT_WIN_TRANSFER", "1")
+    monkeypatch.setenv("MGT_PAIR_FMG", "1")
+    monkeypatch.setenv("MGT_PAIR_FMG_PRO", "1")
+    from experiments.poisson_cube import build_solver
+
+    s = build_solver(poisson_cube_mesh(8), degree=4, n_cycles=2,
+                     sp_impl="pallas_windowed", dp_impl="pallas_windowed")
+    sol = s.solve()
+    assert s._pro_win, "pair prolongation not installed"
+    err = s.l2_error(s.maxlevel, sol)
+    assert abs(err - 4.065e-4) < 0.02 * 4.065e-4
+    monkeypatch.setenv("MGT_PAIR_FMG_PRO", "0")
+    s2 = build_solver(poisson_cube_mesh(8), degree=4, n_cycles=2,
+                      sp_impl="pallas_windowed", dp_impl="pallas_windowed")
+    sol2 = s2.solve()
+    assert not s2._pro_win
+    np.testing.assert_allclose(np.asarray(sol), np.asarray(sol2),
+                               rtol=0, atol=2e-6 * float(np.abs(sol2).max()))
+
+
 def test_pair_fmg_residual_handoff(monkeypatch):
     """MGT_PAIR_FMG: the dp FMG residual is emitted straight into the
     fused smoother's windowed layout (residual_defect_win) and the
