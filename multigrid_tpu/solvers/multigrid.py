@@ -733,11 +733,14 @@ class MultigridSolver:
         if getattr(self, "_pro_win", None) is not None:
             return self._pro_win
         self._pro_win = {}
-        # default OFF pending the hardware A/B (repo rule: measure, then
-        # flip; the sweep runs MGT_PAIR_FMG_PRO=1 bench vs the committed
-        # defaults)
+        # TPU default: hardware A/B 2026-08-19 measured flagship FMG
+        # 0.6567 s vs 0.6596 s on the node-materializing path, same L2
+        # error 4.369e-10 (docs/tpu_r3/bench_pairpro.log vs
+        # bench_limbs5.log) — a small win, and it drops the per-level
+        # f64 node round trip's HBM churn.
         _pp = _os.environ.get("MGT_PAIR_FMG_PRO")
-        _use = _pp not in (None, "", "0")
+        _use = (jax.default_backend() == "tpu" if _pp is None
+                else _pp not in ("", "0"))
         if not (_use and rhs_win):
             return self._pro_win
         from ..ops.transfer import OzakiWindowedProlongate
