@@ -14,13 +14,20 @@ export PYTHONPATH=.${PYTHONPATH:+:$PYTHONPATH}
 echo $$ > /tmp/sweep17.pid
 
 wait_tunnel() {
-    for _ in $(seq 1 30); do
-        timeout 180 python -c "import jax; assert jax.devices()" 2>/dev/null \
+    # a REAL device roundtrip: jax.devices() succeeds even when the data
+    # plane is wedged (observed 2026-08-20: D2H transfer hung 30+ min
+    # while device enumeration returned instantly)
+    for _ in $(seq 1 120); do
+        timeout 180 python -c "
+import jax, jax.numpy as jnp
+import numpy as np
+y = jnp.ones((8, 128)) @ jnp.ones((128, 8))
+assert float(np.asarray(y)[0, 0]) == 128.0" 2>/dev/null \
             && return 0
         echo "tunnel down, retrying in 60s $(date +%H:%M:%S)"
         sleep 60
     done
-    echo "tunnel stayed down 30 min; giving up at $(date +%H:%M:%S)"
+    echo "tunnel stayed down 2 h; giving up at $(date +%H:%M:%S)"
     exit 1
 }
 
