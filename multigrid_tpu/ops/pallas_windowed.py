@@ -147,8 +147,14 @@ class PallasWindowedOzaki:
         return jnp.asarray(w)
 
     # -------------------------------------------------------------- kernel
-    def _kernel(self, x_hbm, kst_ref, out_ref, slab, carry_h, carry_l,
-                zcarry_h, zcarry_l, sem):
+    def _matvec_planes(self, x_hbm, kst_ref, slab, carry_h, carry_l,
+                       zcarry_h, zcarry_l, sem):
+        """Shared matvec pipeline: DMA -> window -> 7-limb matmuls ->
+        compensated unscatter/carries/masks; returns the block's finished
+        output pair planes ([p, RW, G] hi, [p, RW, G] lo) with all
+        sequential carries resolved (cf. PallasWindowedSP._matvec_planes —
+        epilogue variants share this body so a divergence cannot introduce
+        a hardware-only bug)."""
         zi = pl.program_id(0)
         yj = pl.program_id(1)
         p, n, N = self.p, self.n, self.N
@@ -298,8 +304,28 @@ class PallasWindowedOzaki:
         p0l = p0l * (zmask0 * ymask * xm)
         bh = jnp.concatenate([p0h[None], wh[1:p] * (ymask * xm)[None]], axis=0)
         bl = jnp.concatenate([p0l[None], wl[1:p] * (ymask * xm)[None]], axis=0)
+        return bh, bl                                  # [p, RW, G] each
+
+    def _kernel(self, x_hbm, kst_ref, out_ref, slab, carry_h, carry_l,
+                zcarry_h, zcarry_l, sem):
+        bh, bl = self._matvec_planes(x_hbm, kst_ref, slab, carry_h, carry_l,
+                                     zcarry_h, zcarry_l, sem)
         out_ref[0, :, 0, 0] = bh                       # [p, RW, G]
         out_ref[0, :, 1, 0] = bl
+
+    def _kernel_resid(self, x_hbm, b_ref, kst_ref, out_ref, slab, carry_h,
+                      carry_l, zcarry_h, zcarry_l, sem):
+        """Fused dp residual epilogue: the constrained f32 V-cycle defect
+        ``hi(df64(b - A x))`` emitted by the same kernel pass that computes
+        A x (the dp analogue of PallasWindowedSP._kernel_resid) — the pair
+        matvec result never round-trips HBM and the defect is ONE plane
+        instead of two.  ``b_ref`` is the blocked windowed pair of the
+        constrained rhs; the compensated subtraction is the same df64_add
+        as residual_defect_win_pair's XLA tail (bit-identical math)."""
+        yh, yl = self._matvec_planes(x_hbm, kst_ref, slab, carry_h, carry_l,
+                                     zcarry_h, zcarry_l, sem)
+        dh, _ = df64_add(b_ref[:, 0], b_ref[:, 1], -yh, -yl)
+        out_ref[0, :, 0] = dh                          # [p, RW, G]
 
     def _fused(self, xw):
         n, G, cy_b = self.n, self.G, self.cy_b
@@ -340,6 +366,75 @@ class PallasWindowedOzaki:
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=self.interpret,
         )(xw, self.Kstack)
+
+    def _fused_resid(self, xw, bw):
+        """pallas_call scaffolding for the fused-residual epilogue: same
+        grid, scratch, VMEM limit and cost model as :meth:`_fused`; one
+        extra blocked pair input (the windowed rhs) and a single-plane
+        output."""
+        n, G, cy_b = self.n, self.G, self.cy_b
+        p = self.p
+        cz, nyc = self.cz, self.nyc
+        rows = cy_b * p
+        flops = 2 * sum((m + 1) for m in range(_MAX_M + 1)) * self.N**2 \
+            * self.cy * self.cx * cz
+        return pl.pallas_call(
+            self._kernel_resid,
+            grid=(cz, nyc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((p, 2, rows, G),
+                             lambda zi, yj: (zi, _I0, yj, _I0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.off[-1], self.N),
+                             lambda zi, yj: (_I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, p, 1, rows, G),
+                lambda zi, yj: (zi, _I0, yj, _I0, _I0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((cz, p, nyc, rows, G),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n, 2, self.Yp, G), jnp.float32),
+                pltpu.VMEM((n, n, self.cxp), jnp.float32),
+                pltpu.VMEM((n, n, self.cxp), jnp.float32),
+                pltpu.VMEM((self.cy * p, G), jnp.float32),
+                pltpu.VMEM((self.cy * p, G), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=2 * xw.size * 4 + xw.size * 2,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xw, bw, self.Kstack)
+
+    def resid_fused_pair(self, xw: jnp.ndarray,
+                         bw: jnp.ndarray) -> jnp.ndarray:
+        """``hi(df64(b - A x))`` on windowed pairs in ONE kernel pass ->
+        f32 defect [Z, Yp, G].  Top-z/y-pad rows are zero on both operands
+        (constrained-rhs + boundary-zero matvec invariants), so the XLA
+        tail stays the same reshape+pad as vmult_windowed."""
+        p, G = self.p, self.G
+        cz, Y, Yp = self.cz, self.Y, self.Yp
+        xw, bw = jax.lax.optimization_barrier((xw, bw))
+        o = self._fused_resid(xw, bw)
+        o = jax.lax.optimization_barrier(o)
+        o = o.reshape(cz * p, Y - 1, G)
+        return jnp.pad(o, ((0, 1), (0, Yp - Y + 1), (0, 0)))
+
+    @staticmethod
+    def _use_resid_fused() -> bool:
+        """MGT_DP_RESID_FUSED gate (default OFF until the hardware
+        bit-exactness + timing A/B lands — CLAUDE.md kernel-change rule)."""
+        import os
+
+        return os.environ.get("MGT_DP_RESID_FUSED", "0") not in ("", "0")
 
     # ---------------------------------------------------------- pair apply
     def vmult_windowed(self, xw: jnp.ndarray) -> jnp.ndarray:
@@ -391,8 +486,10 @@ class PallasWindowedOzaki:
         result needs no further masking."""
         from .df64 import df64_add
 
-        yw = self.vmult_windowed(
-            self.to_windowed(jnp.where(self.interior, lhs, 0)))
+        xw = self.to_windowed(jnp.where(self.interior, lhs, 0))
+        if self._use_resid_fused():
+            return self.resid_fused_pair(xw, rhs_w)
+        yw = self.vmult_windowed(xw)
         dh, _ = df64_add(rhs_w[:, 0], rhs_w[:, 1], -yw[:, 0], -yw[:, 1])
         return dh
 
@@ -401,6 +498,8 @@ class PallasWindowedOzaki:
         ALREADY in the windowed pair layout (interior-masked, consistent
         duplicates — ops/transfer.OzakiWindowedProlongate): the node grid
         never materializes between the FMG transfer and the V-cycle."""
+        if self._use_resid_fused():
+            return self.resid_fused_pair(lhs_w, rhs_w)
         yw = self.vmult_windowed(lhs_w)
         dh, _ = df64_add(rhs_w[:, 0], rhs_w[:, 1], -yw[:, 0], -yw[:, 1])
         return dh

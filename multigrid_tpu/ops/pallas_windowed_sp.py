@@ -357,6 +357,25 @@ class PallasWindowedSP:
         y = self._matvec_planes(x_hbm, kst_ref, slab, carry, zcarry, sem)
         out_ref[0, :, 0] = b_ref[...] - y
 
+    def _kernel_cheb_inplace(self, x_hbm, b_ref, xold_ref, f12_ref, zy_ref,
+                             fx_ref, kst_ref, out_ref, slab, carry, zcarry,
+                             sem):
+        """:meth:`_kernel_cheb` writing straight into the [Z, Yp, G] vector
+        layout (out aliases x_old's buffer; see cheb_fused)."""
+        y = self._matvec_planes(x_hbm, kst_ref, slab, carry, zcarry, sem)
+        p = self.p
+        rows0 = pl.program_id(1) * self.cy_b * p
+        x_blk = slab[:p, pl.ds(rows0, self.cy_b * p)]
+        f1 = f12_ref[0, 0]
+        f2 = f12_ref[0, 1]
+        diag = None
+        for d in range(3):
+            term = zy_ref[0, 0, d][:, :, None] * fx_ref[d][None, None, :]
+            diag = term if diag is None else diag + term
+        r = b_ref[...] - y
+        out_ref[...] = (x_blk + f1 * (x_blk - xold_ref[...])
+                        + (f2 / diag) * r)
+
     def _call(self, kernel, xw, extra_operands=(), extra_specs=(),
               n_streams=2):
         """Shared pallas_call scaffolding for all epilogue variants: same
@@ -405,6 +424,55 @@ class PallasWindowedSP:
         return pl.BlockSpec((self.p, self.cy_b * self.p, self.G),
                             lambda zi, yj: (zi, yj, _I0),
                             memory_space=pltpu.VMEM)
+
+    def _call_inplace(self, kernel, xw, extra_operands, extra_specs,
+                      alias_input, n_streams):
+        """pallas_call writing straight into the persistent [Z, Yp, G]
+        layout: the output ALIASES operand ``alias_input`` (1-based over
+        (xw, *extra_operands)), whose buffer must be dead at the call site
+        and must carry the layout's zero pad rows — the grid writes only
+        rows z < cz*p, y < Y-1, so the aliased buffer's top-z plane and
+        y-pad rows become the output's (the invariant every windowed
+        vector holds; the _finish reshape+pad pass disappears).  XLA's
+        alias analysis inserts a defensive copy if the operand is live, so
+        gating is a pure perf choice, never a correctness one."""
+        p, G, cy_b = self.p, self.G, self.cy_b
+        cz, nyc = self.cz, self.nyc
+        rows = cy_b * p
+        flops = (2 * sum((m + 1) for m in range(_MAX_M_SP + 1)) * self.N**2
+                 * self.cy * self.cx * cz)
+        return pl.pallas_call(
+            kernel,
+            grid=(cz, nyc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                *extra_specs,
+                pl.BlockSpec((self.off[-1], self.N),
+                             lambda zi, yj: (_I0, _I0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (p, rows, G),
+                lambda zi, yj: (zi, yj, _I0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((self.Z, self.Yp, G),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((self.n, self.Yp, G), jnp.float32),
+                pltpu.VMEM((self.n, self.n, self.cxp), jnp.float32),
+                pltpu.VMEM((self.cy * p, G), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            input_output_aliases={alias_input: 0},
+            cost_estimate=pl.CostEstimate(
+                flops=flops,
+                bytes_accessed=n_streams * xw.size * 4,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xw, *extra_operands, self.Kstack)
 
     def _finish(self, o):
         """[cz, p, nyc, rows, G] kernel output -> padded [Z, Yp, G]."""
@@ -469,22 +537,40 @@ class PallasWindowedSP:
                          jnp.asarray(f2, jnp.float32)]).reshape(1, 2)
         xw, xw_old, bw = jax.lax.optimization_barrier((xw, xw_old, bw))
         blk = self._blk_spec()
+        specs = (
+            blk,                                       # b
+            blk,                                       # x_old
+            pl.BlockSpec((1, 2), lambda zi, yj: (_I0, _I0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 3, p, rows),
+                         lambda zi, yj: (zi, yj, _I0, _I0, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, G), lambda zi, yj: (_I0, _I0),
+                         memory_space=pltpu.VMEM),
+        )
+        if self._use_cheb_alias():
+            # x_old is dead after a Chebyshev iteration (the recurrence
+            # carries (x_new, x)) and holds the layout's zero pad rows:
+            # alias its buffer as the output and skip the _finish pad pass
+            o = self._call_inplace(
+                self._kernel_cheb_inplace, xw,
+                extra_operands=(bw, xw_old, f12, self._zy, self._fx),
+                extra_specs=specs, alias_input=2, n_streams=4)
+            return jax.lax.optimization_barrier(o)
         o = self._call(
             self._kernel_cheb, xw,
             extra_operands=(bw, xw_old, f12, self._zy, self._fx),
-            extra_specs=(
-                blk,                                   # b
-                blk,                                   # x_old
-                pl.BlockSpec((1, 2), lambda zi, yj: (_I0, _I0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 3, p, rows),
-                             lambda zi, yj: (zi, yj, _I0, _I0, _I0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, G), lambda zi, yj: (_I0, _I0),
-                             memory_space=pltpu.VMEM),
-            ),
+            extra_specs=specs,
             n_streams=4)
         return self._finish(o)
+
+    @staticmethod
+    def _use_cheb_alias() -> bool:
+        """MGT_CHEB_ALIAS gate (default OFF until the hardware
+        bit-exactness + timing A/B lands — CLAUDE.md kernel-change rule)."""
+        import os
+
+        return os.environ.get("MGT_CHEB_ALIAS", "0") not in ("", "0")
 
     # ------------------------------------------------- node-grid interface
     def vmult(self, src: jnp.ndarray) -> jnp.ndarray:

@@ -240,3 +240,37 @@ def test_fully_windowed_pair_cg():
     assert red == pytest.approx(red_ref, rel=2e-2)
     np.testing.assert_allclose(np.asarray(sol), np.asarray(sol_ref),
                                atol=1e-9)
+
+
+def test_cheb_alias_inplace_bitexact(monkeypatch):
+    """The in-place cheb pass (MGT_CHEB_ALIAS: output aliases x_old's
+    buffer, no _finish pad pass) must be BIT-identical to the blocked+pad
+    path on invariant-respecting inputs (boundary-zero, zero pad rows)."""
+    from multigrid_tpu.ops.pallas_windowed_sp import FusedChebyshev
+
+    grid = make_grid((2, 4, 4))
+    op = PallasWindowedSP(grid, cy_chunk=2, interpret=True)
+    lap = LaplaceOperator(grid, jnp.float32, make_diag_coef(grid))
+    op.install_diag_factors(lap)
+    inv = windowed_inv_diag_factory(op, lap)
+    rng = np.random.default_rng(21)
+
+    def wvec(seed):
+        r = np.random.default_rng(seed).standard_normal(grid.shape)
+        return op.to_windowed(jnp.where(
+            op.interior, jnp.asarray(r, jnp.float32), 0))
+
+    x, x_old, b = wvec(1), wvec(2), wvec(3)
+    ref = np.asarray(op.cheb_fused(x, x_old, b, 0.37, 0.81))
+    monkeypatch.setenv("MGT_CHEB_ALIAS", "1")
+    got = np.asarray(op.cheb_fused(x, x_old, b, 0.37, 0.81))
+    np.testing.assert_array_equal(got, ref)
+    # whole-smoother equivalence under the knob (vmult + step)
+    fus = FusedChebyshev(op, inv, 1.7, 1.3, 3, 1.0, 0.1)
+    monkeypatch.delenv("MGT_CHEB_ALIAS")
+    want_v, want_s = fus.vmult(b), fus.step(x_old, b)
+    monkeypatch.setenv("MGT_CHEB_ALIAS", "1")
+    np.testing.assert_array_equal(np.asarray(fus.vmult(b)),
+                                  np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(fus.step(x_old, b)),
+                                  np.asarray(want_s))
