@@ -126,8 +126,20 @@ class PallasWindowedOzaki:
         return jnp.stack([win(xh), win(xl)], axis=1)
 
     def from_windowed(self, w: jnp.ndarray) -> jnp.ndarray:
-        """Windowed pair [Z, 2, Yp, G] -> f64 node grid [Z, Y, X]."""
-        return self.from_windowed_pair(w[:, 0], w[:, 1])
+        """Windowed pair [Z, 2, Yp, G] -> f64 node grid [Z, Y, X].
+
+        NOT a delegation to :meth:`from_windowed_pair`: the single fused
+        slice ``w[:, 0, :Y]`` is load-bearing on hardware.  Splitting it
+        into ``w[:, 0]`` + ``[:, :Y]`` (92233ee) changed XLA's fusion
+        choices around the adjacent Mosaic custom call and ZEROED the
+        kernel result of the fused node-entry vmult at most non-flagship
+        shapes (dpwin_gate18 vs dpwin_gate3; ladder17 analyze/CG rows) —
+        the same miscompile class as RESULTS_R3 finding 5.  Bisect:
+        docs/tpu_r3/mid33_*.log + E0-E2 worktree gates 2026-08-20."""
+        Y = self.Y
+        xm = self.xmap
+        return join_f64(xm.unwin(w[:, 0, :Y], self.interpret),
+                        xm.unwin(w[:, 1, :Y], self.interpret))[..., : self.X]
 
     def from_windowed_pair(self, wh: jnp.ndarray,
                            wl: jnp.ndarray) -> jnp.ndarray:
