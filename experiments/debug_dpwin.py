@@ -31,7 +31,10 @@ def check(cells):
                      lengths=(1.9, 1.3, 1.1), n_levels=1)
     grid = DofGrid(mesh, 0, 4)
     ref = DenseLaplaceOzaki(grid)                      # XLA Ozaki oracle
-    win = PallasWindowedOzaki(grid)
+    import os
+
+    cyc = int(os.environ.get("MGT_CY_CHUNK", "32") or "32")
+    win = PallasWindowedOzaki(grid, cy_chunk=cyc)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(grid.shape), jnp.float64)

@@ -1,0 +1,162 @@
+"""Hardware gate + A/B for the Pallas pair-vector CG glue kernels.
+
+Correctness tier (vs the XLA ops/pairvec forms and an f64 host oracle)
+at solver geometries including the 513^3 flagship shape, then a timing
+tier on persistent donated operands (the same harness conventions as
+kernel_profile.py).  Per the CLAUDE.md kernel-change rule this must run
+on the TPU before MGT_PAIR_VEC_KERNEL defaults on.
+
+Usage: python experiments/debug_pairvec.py [sizes...]  (default 40 128)
+"""
+
+import gc
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+_ALPHAS = (0.7319, -1.25e-7, 3.0, -0.03125)
+
+
+def check(size):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multigrid_tpu.mesh.brick import BrickMesh, DofGrid
+    from multigrid_tpu.ops import pairvec as pv
+    from multigrid_tpu.ops.pallas_pairvec import (pair_axpy_kernel,
+                                                  pair_dot_kernel)
+    from multigrid_tpu.ops.pallas_windowed import PallasWindowedOzaki
+
+    mesh = BrickMesh(coarse_cells=(size,) * 3, origin=(-0.9,) * 3,
+                     lengths=(1.9, 1.3, 1.1), n_levels=1)
+    grid = DofGrid(mesh, 0, 4)
+    op = PallasWindowedOzaki(grid)
+    Z, Yp, G = grid.shape[0], op.Yp, op.G
+    w = op.dup_weights()
+    rng = np.random.default_rng(0)
+
+    def mk_pair():
+        v = rng.standard_normal((Z, Yp, G)) * np.exp(
+            rng.uniform(-6, 6, (Z, Yp, G)))
+        hi = v.astype(np.float32)
+        lo = (v - hi.astype(np.float64)).astype(np.float32)
+        return v, jnp.asarray(np.stack([hi, lo], axis=1))
+
+    yv, y = mk_pair()
+    xv, x = mk_pair()
+    ok = True
+    for alpha in _ALPHAS:
+        ref = np.asarray(jax.jit(
+            lambda a, b: pv.pair_axpy(a, b, alpha))(y, x))
+        got = np.asarray(jax.jit(
+            lambda a, b: pair_axpy_kernel(a, b, alpha))(y, x))
+        gj = got[:, 0].astype(np.float64) + got[:, 1]
+        rj = ref[:, 0].astype(np.float64) + ref[:, 1]
+        scale = np.abs(yv) + np.abs(alpha * xv) + 1e-300
+        dev_xla = float((np.abs(gj - rj) / scale).max())
+        dev_orc = float((np.abs(gj - (yv + alpha * xv)) / scale).max())
+        flag = dev_xla < 2.0 ** -45 and dev_orc < 2.0 ** -45
+        ok &= flag
+        print(f"size={size} axpy a={alpha:+.4g}: dev vs XLA {dev_xla:.2e},"
+              f" vs oracle {dev_orc:.2e} {'' if flag else ' BAD'}",
+              flush=True)
+
+    wnp = np.asarray(w)
+    oracle = float(np.einsum("zyg,zyg,g->", yv, xv, wnp.astype(np.float64)))
+    mag = float(np.einsum("zyg,g->", np.abs(yv * xv), wnp.astype(np.float64)))
+    d_ref = float(jax.jit(lambda a, b: pv.pair_dot(a, b, w))(y, x))
+    d_got = float(jax.jit(lambda a, b: pair_dot_kernel(a, b, w))(y, x))
+    flag = (abs(d_got - oracle) <= 5e-6 * mag
+            and abs(d_got - d_ref) <= 5e-6 * mag)
+    ok &= flag
+    print(f"size={size} dot: kernel {d_got:.12e} xla {d_ref:.12e} oracle "
+          f"{oracle:.12e} rel dev {abs(d_got-oracle)/mag:.2e}"
+          f"{'' if flag else ' BAD'}", flush=True)
+    del y, x
+    gc.collect()
+    jax.clear_caches()
+    return ok
+
+
+def timings(size, reps=20):
+    import jax
+    import jax.numpy as jnp
+
+    from multigrid_tpu.mesh.brick import BrickMesh, DofGrid
+    from multigrid_tpu.ops import pairvec as pv
+    from multigrid_tpu.ops.pallas_pairvec import (pair_axpy_kernel,
+                                                  pair_dot_kernel)
+    from multigrid_tpu.ops.pallas_windowed import PallasWindowedOzaki
+
+    mesh = BrickMesh(coarse_cells=(size,) * 3, origin=(-0.9,) * 3,
+                     lengths=(1.9, 1.3, 1.1), n_levels=1)
+    grid = DofGrid(mesh, 0, 4)
+    op = PallasWindowedOzaki(grid)
+    Z, Yp, G = grid.shape[0], op.Yp, op.G
+    w = op.dup_weights()
+    print(f"# timings at ({size})^3 cells, pair plane [{Z}, 2, {Yp}, {G}]"
+          f" = {Z*2*Yp*G*4/2**30:.2f} GB, reps={reps}", flush=True)
+
+    def pair0():
+        return jnp.zeros((Z, 2, Yp, G), jnp.float32)
+
+    def _t(name, fn, donate_x=True):
+        f = jax.jit(fn, donate_argnums=0 if donate_x else ())
+        x = f(pair0())
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x = f(x)
+        jax.block_until_ready(x)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{name:<42s} {dt*1e3:9.2f} ms", flush=True)
+        del x, f
+        gc.collect()
+        jax.clear_caches()
+
+    other = pair0() + 1.0
+
+    _t("pair_axpy XLA", lambda v: pv.pair_axpy(v, other, 0.7))
+    _t("pair_axpy kernel", lambda v: pair_axpy_kernel(v, other, 0.7))
+
+    def _t_dot(name, fn):
+        # scalar carry keeps the dot live (a `* 0.0` chain would be DCE'd)
+        import jax as _jax
+
+        f = _jax.jit(fn)
+        a = pair0() + 0.5
+        s = f(jnp.float64(0), a)
+        _jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            s = f(s, a)
+        _jax.block_until_ready(s)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{name:<42s} {dt*1e3:9.2f} ms", flush=True)
+        del a, s, f
+        gc.collect()
+        _jax.clear_caches()
+
+    _t_dot("pair_dot XLA (scalar carry)",
+           lambda s, a: s + pv.pair_dot(a, other, w))
+    _t_dot("pair_dot kernel (scalar carry)",
+           lambda s, a: s + pair_dot_kernel(a, other, w))
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [40, 128]
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    ok = all([check(s) for s in sizes if s <= 64])
+    for s in sizes:
+        if s > 64:
+            timings(s)
+    # big-size correctness rides the bench.py L2 guard; small sizes gate
+    print("ALL OK" if ok else "MISMATCH FOUND", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,10 @@ def check(cells):
     mesh = BrickMesh(coarse_cells=cells, origin=(-0.9,) * 3,
                      lengths=(1.9, 1.3, 1.1), n_levels=1)
     grid = DofGrid(mesh, 0, 4)
-    op = PallasWindowedSP(grid)
+    import os
+
+    cyc = int(os.environ.get("MGT_CY_CHUNK", "32") or "32")
+    op = PallasWindowedSP(grid, cy_chunk=cyc)
     lap = LaplaceOperator(grid, jnp.float32)
     op.install_diag_factors(lap)
 

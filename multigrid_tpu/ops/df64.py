@@ -42,15 +42,23 @@ def join_f64(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dekker_split(a):
-    """Split into 12-bit halves by mantissa masking (exact products in f32).
+    """Split into halves by ROUND-TO-NEAREST mantissa masking (exact
+    products in f32).
 
     Implemented with a bitmask instead of the classical Dekker arithmetic
     (t = 4097*a; hi = t - (t - a)): compilers may contract the latter into
     an FMA, which skips the rounding the algorithm relies on (observed with
-    XLA:CPU).  Masking is rounding-free and immune to contraction.
-    """
+    XLA:CPU).  Adding 0x800 before masking rounds the kept 11 stored bits
+    to nearest (the carry propagates correctly through the IEEE exponent
+    field), reproducing Veltkamp's rounded split: hi has <= 12 significand
+    bits and |lo| <= 2^-12 |a| (lo <= 11 bits + sign).  A TRUNCATING mask
+    (the earlier form) leaves lo up to 12 bits, which breaks the exactness
+    of Dekker's error-term additions on rare operand patterns — measured
+    1-ulp-of-product errors at ~1e-4 frequency (join off by 2^-23
+    relative), found via the pair-axpy kernel bit-equality gate."""
     ai = jax.lax.bitcast_convert_type(a, jnp.uint32)
-    ahi = jax.lax.bitcast_convert_type(ai & jnp.uint32(0xFFFFF000), jnp.float32)
+    ahi = jax.lax.bitcast_convert_type(
+        (ai + jnp.uint32(0x800)) & jnp.uint32(0xFFFFF000), jnp.float32)
     alo = a - ahi
     return ahi, alo
 

@@ -1,0 +1,200 @@
+"""Pallas kernels for the windowed-pair dp CG vector glue.
+
+kernel_profile18 measured the XLA forms of the pair vector ops ~9x off
+HBM speed-of-light at the 135M flagship (pair_axpy 44.8 ms, pair_dot
+35.2 ms for 4.1/2.7 GB of streamed planes): the compensated df64
+arithmetic (ops/pairvec) must chain its 16M-element chunks through
+``optimization_barrier`` to bound temp HBM, and every barrier
+materializes intermediates to HBM.  Inside a Mosaic kernel the same
+arithmetic runs register-to-register: one HBM pass per operand plane,
+VPU-bound nowhere.
+
+Arithmetic notes (all f32 — Mosaic has no f64 vectors):
+
+- products use the bitmask ROUNDED Dekker split (ops/df64._dekker_split)
+  with a contraction-proof recombination (see _dekker_prod): the
+  (p, err) pair equals the true product to ~2^-46 relative, robust to
+  FMA contraction by construction.  The pair decomposition is NOT
+  bit-identical to ops/df64.two_prod's f64-widening form, but joins
+  agree at the 2^-45 class (pinned in tests/test_pallas_pairvec.py and
+  the hardware gate experiments/debug_pairvec.py).
+- the dot kernel keeps products exact, reduces each z-plane's terms in
+  f32 (sqrt(Yp/8)-term pairwise groups — the same accuracy class as
+  ops/df64._chunk_sum_to_f64's 512-element chunks) and carries the
+  cross-plane accumulator as a compensated (hi, lo) VMEM pair, so the
+  result matches ops/pairvec.pair_dot's ~1e-6-relative class without
+  any f64 emulation.
+
+Counterpart of the reference's vector kernels inside its fused CG
+(/root/reference/common/multigrid_solver.h:516-619, the merged
+vector-update interfaces); here they are standalone single-pass kernels
+because XLA owns the surrounding loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .df64 import _dekker_split, quick_two_sum, split_f64, two_sum
+
+_I0 = np.int32(0)
+
+
+def _dekker_prod(a, b):
+    """f32 product a*b -> (p, err) with p + err == a*b to ~2^-46 |a*b|,
+    CONTRACTION-PROOF BY CONSTRUCTION.
+
+    The classical Dekker form (p = a*b; err from half-products vs p) is
+    correct arithmetic but not robust under compilation: the fresh
+    ``a*b`` multiply gets FMA-contracted into whatever add consumes p
+    (e.g. two_sum's ``s = yh + p`` -> ``fma(a, b, yh)``), which
+    desynchronizes s from the rounded p inside the error recovery —
+    measured 1-ulp-of-product errors at ~0.3%% of elements on XLA:CPU,
+    varying with vectorization shape, and not reliably suppressed by
+    optimization_barrier.  Here instead EVERY multiply is exact by
+    construction (12-bit halves; an FMA of an exact product is identical
+    to mul+add, so contraction cannot change any value) and the pieces
+    are combined with two_sum chains (adds only, nothing to contract):
+
+        a1*b1 + a1*b2 + a2*b1 == ph + e1 + e2   (exactly)
+        err = (e1 + e2) + a2*b2                 (rounds at ~2^-46 |p|)
+    """
+    a1, a2 = _dekker_split(a)
+    b1, b2 = _dekker_split(b)
+    s1, e1 = two_sum(a1 * b1, a1 * b2)
+    ph, e2 = two_sum(s1, a2 * b1)
+    err = (e1 + e2) + a2 * b2
+    return ph, err
+
+
+def _axpy_planes(yh, yl, xh, xl, ch, cl):
+    """df64 y + c*x on (hi, lo) planes; the ops/pairvec._axpy_block
+    formula with the contraction-proof product standing in for the
+    f64-widening two_prod (same class, different pair decomposition)."""
+    p, e = _dekker_prod(xh, ch)
+    e = e + (xh * cl + xl * ch)
+    s, t = two_sum(yh, p)
+    t = t + (yl + e)
+    return quick_two_sum(s, t)
+
+
+def _axpy_kernel(c_ref, y_ref, x_ref, o_ref):
+    ch = c_ref[0, 0]
+    cl = c_ref[0, 1]
+    oh, ol = _axpy_planes(y_ref[0, 0], y_ref[0, 1],
+                          x_ref[0, 0], x_ref[0, 1], ch, cl)
+    o_ref[0, 0] = oh
+    o_ref[0, 1] = ol
+
+
+def pair_axpy_kernel(y: jnp.ndarray, x: jnp.ndarray, alpha,
+                     interpret: bool = False) -> jnp.ndarray:
+    """y + alpha * x on windowed pairs [Z, 2, Yp, G]; one HBM pass.
+
+    The output aliases y's buffer (y is dead at every call site in
+    cg_solve_stepped_pair; XLA inserts a defensive copy otherwise)."""
+    Z, _, Yp, G = y.shape
+    ch, cl = split_f64(jnp.asarray(alpha, jnp.float64))
+    c = jnp.stack([ch.astype(jnp.float32),
+                   cl.astype(jnp.float32)]).reshape(1, 2)
+    blk = pl.BlockSpec((1, 2, Yp, G), lambda zi: (zi, _I0, _I0, _I0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _axpy_kernel,
+        grid=(Z,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda zi: (_I0, _I0),
+                         memory_space=pltpu.SMEM),
+            blk, blk,
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((Z, 2, Yp, G), jnp.float32),
+        input_output_aliases={1: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=22 * y.size, bytes_accessed=3 * y.size * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(c, y, x)
+
+
+def _dot_kernel(a_ref, b_ref, w_ref, o_ref, acc_h, acc_l):
+    zi = pl.program_id(0)
+    nz = pl.num_programs(0)
+    ah, al = a_ref[0, 0], a_ref[0, 1]                  # [Yp, G]
+    bh, bl = b_ref[0, 0], b_ref[0, 1]
+    ph, pe = _dekker_prod(ah, bh)
+    rest = pe + (ah * bl + al * bh)
+    w = w_ref[0]                                       # [G], 0/1: exact
+    vh = ph * w
+    vr = rest * w
+    Yp, G = vh.shape
+    q = Yp // 8
+    lvh = jnp.sum(vh.reshape(q, 8, G), axis=0)         # [8, G]
+    lvr = jnp.sum(vr.reshape(q, 8, G), axis=0)
+
+    @pl.when(zi == 0)
+    def _():
+        acc_h[...] = lvh
+        acc_l[...] = lvr
+
+    @pl.when(zi > 0)
+    def _():
+        s, e = two_sum(acc_h[...], lvh)
+        acc_h[...] = s
+        acc_l[...] = acc_l[...] + (e + lvr)
+
+    @pl.when(zi == nz - 1)
+    def _():
+        o_ref[0] = acc_h[...]
+        o_ref[1] = acc_l[...]
+
+
+def pair_dot_kernel(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """f64 dot of two windowed pairs with 0/1 lane weights ``w`` [G]:
+    exact pair products + compensated cross-plane accumulation in one
+    HBM pass; the [2, 8, G] partial grid finishes in a small XLA f64
+    sum (~5k elements)."""
+    Z, _, Yp, G = a.shape
+    blk = pl.BlockSpec((1, 2, Yp, G), lambda zi: (zi, _I0, _I0, _I0),
+                       memory_space=pltpu.VMEM)
+    parts = pl.pallas_call(
+        _dot_kernel,
+        grid=(Z,),
+        in_specs=[
+            blk, blk,
+            pl.BlockSpec((1, G), lambda zi: (_I0, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, 8, G), lambda zi: (_I0, _I0, _I0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, 8, G), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, G), jnp.float32),
+            pltpu.VMEM((8, G), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=24 * a.size, bytes_accessed=2 * a.size * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(a, b, w.reshape(1, G).astype(jnp.float32))
+    return jnp.sum(parts[0].astype(jnp.float64)) + \
+        jnp.sum(parts[1].astype(jnp.float64))
+
+
+def use_pairvec_kernels(interpret: bool) -> bool:
+    """MGT_PAIR_VEC_KERNEL gate (default OFF until the hardware
+    bit-exactness + timing A/B lands — CLAUDE.md kernel-change rule).
+    An explicit env setting is honored even for interpret-mode
+    geometries (CPU tests force the kernel path); the default keeps the
+    XLA forms everywhere."""
+    env = os.environ.get("MGT_PAIR_VEC_KERNEL")
+    if env is not None:
+        return env not in ("", "0")
+    return False

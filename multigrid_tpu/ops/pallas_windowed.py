@@ -536,12 +536,13 @@ class WindowedHybridOzaki:
     agreement (tests/test_pallas_windowed)."""
 
     def __init__(self, grid: DofGrid, coef: DiagCoef | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, cy_chunk: int = 32):
         import os
 
         from .laplace_dense import DenseLaplaceOzakiChunked
 
-        self.win = PallasWindowedOzaki(grid, coef, interpret=interpret)
+        self.win = PallasWindowedOzaki(grid, coef, interpret=interpret,
+                                       cy_chunk=cy_chunk)
         self._chunked = DenseLaplaceOzakiChunked(grid, coef)
         env = os.environ.get("MGT_DP_NODE_VIA_WIN")
         via_win = (not interpret) if env is None else env not in ("", "0")

@@ -100,10 +100,26 @@ def cg_solve_stepped_pair(
     IS the f32 defect, so preconditioning touches no node grid at all.
     Returns x as an f64 node grid."""
     from ..ops import pairvec as pv
+    from ..ops import pallas_pairvec as pvk
 
     assert (precond_f32 is None) != (precond_win is None)
     cache = _jit_cache if _jit_cache is not None else {}
     w = op_win.dup_weights()
+    if pvk.use_pairvec_kernels(op_win.interpret):
+        # single-HBM-pass Mosaic forms of the CG vector glue (the XLA
+        # compensated forms are barrier-chopped and ~9x off bandwidth
+        # speed-of-light at the flagship — kernel_profile18)
+        def _axpy(y, x, alpha):
+            return pvk.pair_axpy_kernel(y, x, alpha, op_win.interpret)
+
+        def _dot(a, b):
+            return pvk.pair_dot_kernel(a, b, w, op_win.interpret)
+    else:
+        def _axpy(y, x, alpha):
+            return pv.pair_axpy(y, x, alpha)
+
+        def _dot(a, b):
+            return pv.pair_dot(a, b, w)
     if "step_mv" not in cache:
         # the iteration is TWO host-stepped programs, not one: the fused
         # matvec's fold temps and the V-cycle preconditioner's per-level
@@ -122,9 +138,9 @@ def cg_solve_stepped_pair(
 
         def step_mv(x, r, p, rz):
             q = op_win.vmult_windowed(p)
-            alpha = rz / pv.pair_dot(p, q, w)
-            x = pv.pair_axpy(x, p, alpha)
-            r = pv.pair_axpy(r, q, -alpha)
+            alpha = rz / _dot(p, q)
+            x = _axpy(x, p, alpha)
+            r = _axpy(r, q, -alpha)
             res = pv.pair_norm_f32(r, w)
             return x, r, res
 
@@ -132,8 +148,8 @@ def cg_solve_stepped_pair(
 
         def step_pc(r, p, rz):
             z = _apply_pc(r)
-            rz_new = pv.pair_dot(r, z, w)
-            p = pv.pair_xpby(z, p, rz_new / rz)
+            rz_new = _dot(r, z)
+            p = _axpy(z, p, rz_new / rz)
             return p, rz_new
 
         cache["step_pc"] = jax.jit(step_pc, donate_argnums=(1,))
@@ -147,7 +163,7 @@ def cg_solve_stepped_pair(
 
         def init_pc(bw):
             z = _apply_pc(bw)
-            rz = pv.pair_dot(bw, z, w)
+            rz = _dot(bw, z)
             return z, rz
 
         cache["init_pc"] = jax.jit(init_pc)

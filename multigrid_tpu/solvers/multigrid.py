@@ -37,6 +37,15 @@ def _eval_on(coords, fn):
     return fn(coords)
 
 
+def _cy_chunk() -> int:
+    """y-chunk rows per fused-kernel grid step (MGT_CY_CHUNK, default 32;
+    kernel_profile18 measured cy_chunk=16 ~10-23%% faster on both fused
+    kernels at the flagship — default pending the solve-level A/B)."""
+    import os
+
+    return int(os.environ.get("MGT_CY_CHUNK", "32") or "32")
+
+
 def _win_cx_ok(cx: int) -> bool:
     """Eligibility of the fused windowed Mosaic kernels for a level with
     ``cx`` cells along x.  Exact multiples of the 128 lane tile always
@@ -204,7 +213,8 @@ class MultigridSolver:
                         and (interpret or (_win_cx_ok(g.cells[2])
                                            and g.n_dofs > chunk_threshold))):
                     return WindowedHybridOzaki(
-                        g, make_diag_coef(g, coefficient), interpret=interpret)
+                        g, make_diag_coef(g, coefficient),
+                        interpret=interpret, cy_chunk=_cy_chunk())
                 if g.dim == 3 and g.n_dofs > chunk_threshold:
                     return DenseLaplaceOzakiChunked(
                         g, make_diag_coef(g, coefficient))
@@ -400,7 +410,8 @@ class MultigridSolver:
                                            and g.n_dofs > chunk_threshold))):
                     continue
                 opw = PallasWindowedSP(g, make_diag_coef(g, coefficient),
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       cy_chunk=_cy_chunk())
                 opw.install_diag_factors(self.ops[l])
                 inv_diag = windowed_inv_diag_factory(opw, self.ops[l])
                 sm = self.smoothers[l]

