@@ -246,9 +246,13 @@ class PallasWindowedSP:
         u = w.reshape(N, F)
 
         s_ = jnp.max(jnp.abs(u), axis=0, keepdims=True)
-        sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(s_, 1e-30))))
-        sigma = jnp.where(s_ > 0, sigma, 1.0)          # [1, F]
-        rh = u / sigma
+        e_ = jnp.ceil(jnp.log2(jnp.maximum(s_, 1e-30)))
+        sigma = jnp.where(s_ > 0, jnp.exp2(e_), 1.0)   # [1, F]
+        # multiply by the exact inverse power of 2 instead of dividing:
+        # bit-identical (2^-k is exact) and VPU divides are ~4x multiplies
+        # at N rows per column
+        inv_sigma = jnp.where(s_ > 0, jnp.exp2(-e_), 1.0)
+        rh = u * inv_sigma
         limbs = []
         for k in range(_N_LIMBS_SP):
             scale = np.float32(2.0 ** (_LIMB_BITS_SP * (k + 1)))
@@ -269,7 +273,7 @@ class PallasWindowedSP:
                 preferred_element_type=jnp.float32,
             )                                          # [N, F] f32
             delta = np.float32(self.sigma_K * 2.0 ** (-_LIMB_BITS_SP * m))
-            term = Ym * delta * sigma
+            term = Ym * (delta * sigma)                # fold per column
             acc = term if acc is None else acc + term
 
         # y-unscatter with chunk-boundary carry (see ops/pallas_windowed)
