@@ -46,6 +46,21 @@ from .df64 import _dekker_split, quick_two_sum, split_f64, two_sum
 _I0 = np.int32(0)
 
 
+def _y_block(Yp: int, cap: int = 128) -> int:
+    """Largest divisor of Yp that is a multiple of 8 and <= cap.
+
+    A full flagship plane-pair block (2*520*640 f32 = 2.7 MB) times three
+    operands, double-buffered, overflows the 16 MB scoped-VMEM limit
+    (measured: 22.86M requested at 513^3 — pairvec_gate21b); blocking the
+    Y axis keeps every operand block a few hundred KB.  Yp is always a
+    multiple of 8 (the windowed layout pads the sublane axis)."""
+    best = Yp
+    for by in range(8, min(Yp, cap) + 1, 8):
+        if Yp % by == 0:
+            best = by
+    return best
+
+
 def _dekker_prod(a, b):
     """f32 product a*b -> (p, err) with p + err == a*b to ~2^-46 |a*b|,
     CONTRACTION-PROOF BY CONSTRUCTION.
@@ -73,11 +88,28 @@ def _dekker_prod(a, b):
     return ph, err
 
 
-def _axpy_planes(yh, yl, xh, xl, ch, cl):
+def _dekker_prod_bsplit(a, b, b1, b2):
+    """_dekker_prod with ``b`` PRE-SPLIT (b1 + b2 == b, b1 <= 12
+    significand bits).  Needed when b is a kernel scalar: Mosaic's
+    ``tpu.bitcast`` only accepts vectors, so ``_dekker_split(b)`` cannot
+    run inside the kernel (pairvec_gate21 verification failure) — the
+    caller splits b in XLA and passes the halves through SMEM.  The
+    combination sequence is identical to _dekker_prod, so the result is
+    bit-identical."""
+    a1, a2 = _dekker_split(a)
+    s1, e1 = two_sum(a1 * b1, a1 * b2)
+    ph, e2 = two_sum(s1, a2 * b1)
+    err = (e1 + e2) + a2 * b2
+    return ph, err
+
+
+def _axpy_planes(yh, yl, xh, xl, ch, cl, ch1, ch2):
     """df64 y + c*x on (hi, lo) planes; the ops/pairvec._axpy_block
     formula with the contraction-proof product standing in for the
-    f64-widening two_prod (same class, different pair decomposition)."""
-    p, e = _dekker_prod(xh, ch)
+    f64-widening two_prod (same class, different pair decomposition).
+    ``ch1``/``ch2`` are the XLA-side Dekker halves of ch (scalar bitcast
+    is unsupported in Mosaic)."""
+    p, e = _dekker_prod_bsplit(xh, ch, ch1, ch2)
     e = e + (xh * cl + xl * ch)
     s, t = two_sum(yh, p)
     t = t + (yl + e)
@@ -87,29 +119,34 @@ def _axpy_planes(yh, yl, xh, xl, ch, cl):
 def _axpy_kernel(c_ref, y_ref, x_ref, o_ref):
     ch = c_ref[0, 0]
     cl = c_ref[0, 1]
+    ch1 = c_ref[0, 2]
+    ch2 = c_ref[0, 3]
     oh, ol = _axpy_planes(y_ref[0, 0], y_ref[0, 1],
-                          x_ref[0, 0], x_ref[0, 1], ch, cl)
+                          x_ref[0, 0], x_ref[0, 1], ch, cl, ch1, ch2)
     o_ref[0, 0] = oh
     o_ref[0, 1] = ol
 
 
 def pair_axpy_kernel(y: jnp.ndarray, x: jnp.ndarray, alpha,
                      interpret: bool = False) -> jnp.ndarray:
-    """y + alpha * x on windowed pairs [Z, 2, Yp, G]; one HBM pass.
+    """y + alpha * x on windowed pairs [Z, 2, Yp, G]; one HBM pass over
+    (z, y-block) tiles (see _y_block for why not whole planes).
 
     The output aliases y's buffer (y is dead at every call site in
     cg_solve_stepped_pair; XLA inserts a defensive copy otherwise)."""
     Z, _, Yp, G = y.shape
     ch, cl = split_f64(jnp.asarray(alpha, jnp.float64))
-    c = jnp.stack([ch.astype(jnp.float32),
-                   cl.astype(jnp.float32)]).reshape(1, 2)
-    blk = pl.BlockSpec((1, 2, Yp, G), lambda zi: (zi, _I0, _I0, _I0),
+    ch = ch.astype(jnp.float32)
+    ch1, ch2 = _dekker_split(ch)
+    c = jnp.stack([ch, cl.astype(jnp.float32), ch1, ch2]).reshape(1, 4)
+    by = _y_block(Yp)
+    blk = pl.BlockSpec((1, 2, by, G), lambda zi, yi: (zi, _I0, yi, _I0),
                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _axpy_kernel,
-        grid=(Z,),
+        grid=(Z, Yp // by),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda zi: (_I0, _I0),
+            pl.BlockSpec((1, 4), lambda zi, yi: (_I0, _I0),
                          memory_space=pltpu.SMEM),
             blk, blk,
         ],
@@ -125,31 +162,34 @@ def pair_axpy_kernel(y: jnp.ndarray, x: jnp.ndarray, alpha,
 
 def _dot_kernel(a_ref, b_ref, w_ref, o_ref, acc_h, acc_l):
     zi = pl.program_id(0)
+    yi = pl.program_id(1)
     nz = pl.num_programs(0)
-    ah, al = a_ref[0, 0], a_ref[0, 1]                  # [Yp, G]
+    ny = pl.num_programs(1)
+    ah, al = a_ref[0, 0], a_ref[0, 1]                  # [by, G]
     bh, bl = b_ref[0, 0], b_ref[0, 1]
     ph, pe = _dekker_prod(ah, bh)
     rest = pe + (ah * bl + al * bh)
     w = w_ref[0]                                       # [G], 0/1: exact
     vh = ph * w
     vr = rest * w
-    Yp, G = vh.shape
-    q = Yp // 8
+    by, G = vh.shape
+    q = by // 8
     lvh = jnp.sum(vh.reshape(q, 8, G), axis=0)         # [8, G]
     lvr = jnp.sum(vr.reshape(q, 8, G), axis=0)
+    first = jnp.logical_and(zi == 0, yi == 0)
 
-    @pl.when(zi == 0)
+    @pl.when(first)
     def _():
         acc_h[...] = lvh
         acc_l[...] = lvr
 
-    @pl.when(zi > 0)
+    @pl.when(jnp.logical_not(first))
     def _():
         s, e = two_sum(acc_h[...], lvh)
         acc_h[...] = s
         acc_l[...] = acc_l[...] + (e + lvr)
 
-    @pl.when(zi == nz - 1)
+    @pl.when(jnp.logical_and(zi == nz - 1, yi == ny - 1))
     def _():
         o_ref[0] = acc_h[...]
         o_ref[1] = acc_l[...]
@@ -162,17 +202,18 @@ def pair_dot_kernel(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,
     HBM pass; the [2, 8, G] partial grid finishes in a small XLA f64
     sum (~5k elements)."""
     Z, _, Yp, G = a.shape
-    blk = pl.BlockSpec((1, 2, Yp, G), lambda zi: (zi, _I0, _I0, _I0),
+    by = _y_block(Yp)
+    blk = pl.BlockSpec((1, 2, by, G), lambda zi, yi: (zi, _I0, yi, _I0),
                        memory_space=pltpu.VMEM)
     parts = pl.pallas_call(
         _dot_kernel,
-        grid=(Z,),
+        grid=(Z, Yp // by),
         in_specs=[
             blk, blk,
-            pl.BlockSpec((1, G), lambda zi: (_I0, _I0),
+            pl.BlockSpec((1, G), lambda zi, yi: (_I0, _I0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, 8, G), lambda zi: (_I0, _I0, _I0),
+        out_specs=pl.BlockSpec((2, 8, G), lambda zi, yi: (_I0, _I0, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, 8, G), jnp.float32),
         scratch_shapes=[
