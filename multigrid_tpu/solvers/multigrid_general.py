@@ -20,6 +20,7 @@ import numpy as np
 from ..mesh.mapped import GeneralGrid, MappedMesh
 from ..ops.laplace_general import GeneralLaplace
 from ..ops.laplace_general_df64 import GeneralLaplaceDF64, split_pair
+from ..ops.laplace_general_mxu import GeneralLaplaceMXU, GeneralLaplaceOzaki
 from ..ops.transfer_general import GeneralTransfer, GeneralTransferDF64
 from .cg import CGResult, cg_solve
 from .chebyshev import FIRST_KIND, Chebyshev
@@ -47,6 +48,7 @@ class GeneralMultigridSolver:
         pure_double: bool = False,
         chebyshev_kind: str = FIRST_KIND,
         dp_df64: Optional[bool] = None,
+        use_mxu: Optional[bool] = None,
     ):
         assert n_pre == n_post
         if pure_double:
@@ -58,6 +60,21 @@ class GeneralMultigridSolver:
         if dp_df64 is None:
             dp_df64 = jax.default_backend() != "cpu"
         self.dp_df64 = bool(dp_df64)
+        # MXU-native operator forms (ops/laplace_general_mxu): the whole
+        # gradient evaluation as shared-weight [cells,N]@[N,dim*nq]
+        # matmuls — Ozaki bf16 limbs for dp, Precision.HIGHEST for f32.
+        # The round-3 sweep-form df64 operator measured ~1 s per dp matvec
+        # at 1.6M shell dofs (VPU-bound); the MXU form is the TPU-fast
+        # path.  Auto-on off-CPU (on CPU the dense form is 25x the flops).
+        import os
+
+        if use_mxu is None:
+            env = os.environ.get("MGT_GENERAL_MXU", "")
+            if env != "":
+                use_mxu = env not in ("0",)
+            else:
+                use_mxu = jax.default_backend() != "cpu"
+        self.use_mxu = bool(use_mxu)
         # pure-double on TPU = the whole V-cycle rides the pair operators
         self._pure_pair = self.dp_df64 and pure_double
         self.mesh = mesh
@@ -73,14 +90,16 @@ class GeneralMultigridSolver:
         self.ops = []
         self.ops_dp = []
         self.ops_dfp = []
+        _pair_cls = GeneralLaplaceOzaki if self.use_mxu else GeneralLaplaceDF64
+        _sp_cls = GeneralLaplaceMXU if self.use_mxu else GeneralLaplace
         for g in self.grids:
             coef = g.merged_coefficient(coef_fn)
-            dfp = GeneralLaplaceDF64(g, coef=coef) if self.dp_df64 else None
+            dfp = _pair_cls(g, coef=coef) if self.dp_df64 else None
             self.ops_dfp.append(dfp)
             if self._pure_pair:
                 self.ops.append(dfp)
             else:
-                self.ops.append(GeneralLaplace(g, v_dtype, coef=coef))
+                self.ops.append(_sp_cls(g, v_dtype, coef=coef))
             # native-f64 twin stays for setup/analysis (rhs assembly,
             # l2_error, minimal_surface's field evaluations)
             self.ops_dp.append(GeneralLaplace(g, f_dtype, coef=coef))
