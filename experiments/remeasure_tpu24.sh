@@ -53,6 +53,13 @@ phase() {  # phase <name> <timeout_s> <cmd...>
 phase general_gate 3600 python experiments/debug_general.py 2 4 6 8
 phase general_gate13m 3600 python experiments/debug_general.py 10
 
+# 1b. Pair-vector glue kernel gates to completion (round-3 advisor
+#     medium findings: gate21c truncated before the size=40 dot and the
+#     flagship timing tier) + flagship end-to-end A/B.
+phase pairvec_gate 3600 python experiments/debug_pairvec.py 24 40 128
+MGT_PAIR_VEC_KERNEL=1 phase flag128_pairvec 4800 \
+    python experiments/debug_mid33.py 128
+
 # 2. Shell ladder, mixed precision, to 13M (VERDICT #1 "done" criterion).
 phase shell_mxu 14000 python experiments/poisson_shell.py \
     4 13000000 1 3 3 --cycles 11

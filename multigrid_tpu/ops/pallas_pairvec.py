@@ -53,8 +53,12 @@ def _y_block(Yp: int, cap: int = 128) -> int:
     operands, double-buffered, overflows the 16 MB scoped-VMEM limit
     (measured: 22.86M requested at 513^3 — pairvec_gate21b); blocking the
     Y axis keeps every operand block a few hundred KB.  Yp is always a
-    multiple of 8 (the windowed layout pads the sublane axis)."""
-    best = Yp
+    multiple of 8 (the windowed layout pads the sublane axis) — asserted
+    because a silent fall-through would only surface later as an opaque
+    reshape error in _dot_kernel's by//8 regrouping."""
+    assert Yp % 8 == 0, \
+        f"windowed pair layout requires Yp % 8 == 0, got {Yp}"
+    best = 8
     for by in range(8, min(Yp, cap) + 1, 8):
         if Yp % by == 0:
             best = by

@@ -28,7 +28,14 @@ def _pair(rng, shape):
     return v, jnp.asarray(np.stack([hi, lo], axis=1))
 
 
-@pytest.mark.parametrize("shape", [(5, 8, 20), (9, 16, 130), (2, 8, 640)])
+@pytest.mark.parametrize("shape", [
+    (5, 8, 20), (9, 16, 130), (2, 8, 640),
+    # multi-y-block geometries: Yp=136 -> by=8, ny=17; Yp=168 -> by=56,
+    # ny=3 — exercising the (zi, yi) grid and the _dot_kernel first/
+    # continue/last accumulator arms (round-3 advisor finding: all
+    # Yp in {8,16} shapes ran the whole plane in one block)
+    (3, 136, 20), (4, 168, 24),
+])
 @pytest.mark.parametrize("alpha", [0.7319, -1.25e-7, 3.0])
 def test_axpy_kernel_matches_xla(shape, alpha):
     """Hi plane bit-equal; join within the dp class (2^-45 of the operand
@@ -56,7 +63,8 @@ def test_axpy_kernel_matches_xla(shape, alpha):
     assert float((np.abs(gj - oracle) / scale).max()) < 2.0 ** -45
 
 
-@pytest.mark.parametrize("shape", [(5, 8, 20), (9, 16, 130)])
+@pytest.mark.parametrize("shape", [(5, 8, 20), (9, 16, 130),
+                                   (3, 136, 20), (4, 168, 24)])
 def test_dot_kernel_accuracy(shape):
     rng = np.random.default_rng(11)
     av, a = _pair(rng, shape)
