@@ -103,6 +103,7 @@ def main():
                   (8, 8, 64), (4, 16, 72)]
     ok = all([check(s) for s in shapes])
     print("ALL OK" if ok else "MISMATCH FOUND")
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,7 @@ def main():
 
     ok = reduction < 0.2 and cg_err < 1e-7
     print("OK" if ok else "BROKEN", flush=True)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

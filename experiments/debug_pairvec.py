@@ -165,6 +165,7 @@ def main():
             timings(s)
     # big-size correctness rides the bench.py L2 guard; small sizes gate
     print("ALL OK" if ok else "MISMATCH FOUND", flush=True)
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -89,6 +89,7 @@ def main():
         shapes = [(4, 4, 128), (16, 16, 128), (8, 8, 80), (4, 16, 72)]
     ok = all([check(s) for s in shapes])
     print("ALL OK" if ok else "MISMATCH FOUND")
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
