@@ -310,7 +310,13 @@ class MultigridSolver:
         self._exact_quad_cache = {}
         for l, g in enumerate(self.grids):
             faces_np = _bc_faces_host(g, exact_fn)
-            self.u_bc.append([jnp.asarray(f, f_dtype) for f in faces_np])
+            if _timing and l == 0:
+                _tick("u_bc[0] host faces")
+            dev_faces = [jnp.asarray(f, f_dtype) for f in faces_np]
+            if _timing and l == 0:
+                jax.block_until_ready(dev_faces)
+                _tick("u_bc[0] device transfer")
+            self.u_bc.append(dev_faces)
             _tick(f"u_bc[{l}]")
             if g.dim == 3 and isinstance(self.ops_dp[l].coef, DiagCoef):
                 # 3-D separable grids assemble the dp rhs on the HOST at
