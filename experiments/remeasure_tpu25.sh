@@ -51,6 +51,10 @@ phase() {  # phase <name> <timeout_s> <cmd...>
     [ "$rc" -eq 0 ] && touch "$OUT/$name.done"
 }
 
+# 0. Is the TPU's f32 exp2 exact on integers?  (Every Ozaki limb split
+#    depends on it; XLA:CPU's is NOT — see experiments/debug_exp2.py.)
+phase exp2_probe 1200 python experiments/debug_exp2.py
+
 # 1. Setup-time attribution with the new sub-ticks.
 MGT_SETUP_TIMING=1 phase bench_setup25 2700 python bench.py
 
