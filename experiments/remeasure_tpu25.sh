@@ -58,6 +58,11 @@ phase exp2_probe 1200 python experiments/debug_exp2.py
 # 1. Setup-time attribution with the new sub-ticks.
 MGT_SETUP_TIMING=1 phase bench_setup25 2700 python bench.py
 
+# 1b. Fresh FMG decomposition at the post-cy16 defaults (VERDICT #5:
+#     find the remaining ~100 ms toward 0.55 s).
+MGT_CY_CHUNK=16 phase fmg_profile25 4800 \
+    python experiments/fmg_profile.py 128 5
+
 # 2+3. DG matvec hardware tier (reference flagship kernel showcase,
 #      /root/reference/matvec_dg/program.cc:176-207).
 phase matvec_dg_dp 7200 python experiments/matvec_dg.py \
