@@ -33,7 +33,7 @@ def check(cells):
     ref = DenseLaplaceOzaki(grid)                      # XLA Ozaki oracle
     import os
 
-    cyc = int(os.environ.get("MGT_CY_CHUNK", "32") or "32")
+    cyc = int(os.environ.get("MGT_CY_CHUNK", "16") or "16")
     win = PallasWindowedOzaki(grid, cy_chunk=cyc)
 
     rng = np.random.default_rng(0)

@@ -33,7 +33,7 @@ def check(cells):
     grid = DofGrid(mesh, 0, 4)
     import os
 
-    cyc = int(os.environ.get("MGT_CY_CHUNK", "32") or "32")
+    cyc = int(os.environ.get("MGT_CY_CHUNK", "16") or "16")
     op = PallasWindowedSP(grid, cy_chunk=cyc)
     lap = LaplaceOperator(grid, jnp.float32)
     op.install_diag_factors(lap)

@@ -38,12 +38,15 @@ def _eval_on(coords, fn):
 
 
 def _cy_chunk() -> int:
-    """y-chunk rows per fused-kernel grid step (MGT_CY_CHUNK, default 32;
+    """y-chunk rows per fused-kernel grid step (MGT_CY_CHUNK, default 16:
     kernel_profile18 measured cy_chunk=16 ~10-23%% faster on both fused
-    kernels at the flagship — default pending the solve-level A/B)."""
+    kernels; full-shape hardware gates bit-exact and the flagship solve
+    A/B won — FMG 0.6440 s / dp matvec 3.63 GDoF/s vs 0.6542 / 3.24 at
+    32 (docs/tpu_r4/{dpwin,spwin}_cy16.log, bench_cy16.log,
+    2026-08-20)."""
     import os
 
-    return int(os.environ.get("MGT_CY_CHUNK", "32") or "32")
+    return int(os.environ.get("MGT_CY_CHUNK", "16") or "16")
 
 
 def _win_cx_ok(cx: int) -> bool:
