@@ -94,11 +94,17 @@ class GeneralLaplaceDF64:
         self.Dt = SplitMatrix(b.D_col.T)
         if coef is None:
             coef = grid.merged_coefficient(coef_fn)
-        shape = (grid.n_cells,) + (self.n,) * self.dim + (coef.shape[-1],)
-        coef = np.asarray(coef, np.float64).reshape(shape)
-        hi = coef.astype(np.float32)
-        lo = (coef - hi.astype(np.float64)).astype(np.float32)
-        self.C = (jnp.asarray(hi), jnp.asarray(lo))
+        if isinstance(coef, tuple):
+            # pre-split device pair (hi, lo) — lets the solver ship ONE
+            # f32 hi plane shared with the sp operator instead of
+            # re-transferring ~600 MB per level at the 13M shell size
+            self.C = coef
+        else:
+            shape = (grid.n_cells,) + (self.n,) * self.dim + (coef.shape[-1],)
+            coef = np.asarray(coef, np.float64).reshape(shape)
+            hi = coef.astype(np.float32)
+            lo = (coef - hi.astype(np.float64)).astype(np.float32)
+            self.C = (jnp.asarray(hi), jnp.asarray(lo))
         self.cell_nodes = jnp.asarray(grid.cell_nodes)
         self.interior = jnp.asarray(~grid.boundary)
         self.n_dofs = grid.n_dofs

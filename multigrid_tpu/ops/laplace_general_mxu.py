@@ -210,3 +210,62 @@ class GeneralLaplaceOzaki(GeneralLaplaceDF64):
             else:
                 acc = df64_add(acc[0], acc[1], th, tl)
         return acc[0].reshape(cell_shape), acc[1].reshape(cell_shape)
+
+    # -------------------------------------------------- setup/analysis
+    # (the dp twins of GeneralLaplace.compute_rhs / l2_error, so TPU
+    # solver setup never touches XLA's ~100x-slower emulated-f64 einsums
+    # and never ships a second f64 coefficient array)
+    def _Skron(self) -> np.ndarray:
+        S = np.asarray(self.grid.basis.S, np.float64)
+        M = np.array([[1.0]])
+        for _ in range(self.dim):
+            M = np.kron(M, S)
+        return M                                 # [nq^dim, N]
+
+    def compute_rhs_pair(self, fv: np.ndarray, u_bc) -> jnp.ndarray:
+        """b = M f - A u_bc, zero at Dirichlet rows
+        (/root/reference/common/laplace_operator.h:804-845); ``fv`` is
+        f*JxW at the quad points, HOST-precomputed in f64."""
+        from .df64 import split_f64
+
+        nc, N = self.grid.n_cells, self.N
+        if not hasattr(self, "_mass"):
+            self._mass = OzakiMatmul(self._Skron())
+        fv = np.asarray(fv, np.float64).reshape(nc, N)
+        fh = jnp.asarray(fv.astype(np.float32))
+        fl = jnp.asarray((fv - fv.astype(np.float32)).astype(np.float32))
+        mh, ml = self._mass.apply(fh, fl)
+        xh, xl = split_f64(u_bc)
+        ah, al = self.apply_cells_pair(xh, xl, self.C)
+        cell_shape = (nc,) + (self.n,) * self.dim
+        yh, yl = df64_add(mh.reshape(cell_shape), ml.reshape(cell_shape),
+                          -ah, -al)
+        b = self._scatter_add_f64(yh, yl)
+        return jnp.where(self.interior, b, 0.0)
+
+    def l2_error(self, u: jnp.ndarray, exact_quad: jnp.ndarray,
+                 jxw32: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Volume-weighted L2 error vs exact quad-point values
+        (multigrid_solver.h:298-343).  Interpolation rides the Ozaki
+        matmul; the (heavily cancelling) difference is taken in f64 and
+        the positive-term quadrature sum in compensated f32."""
+        from .df64 import join_f64, split_f64, sum_f64
+
+        nc, N = self.grid.n_cells, self.N
+        if not hasattr(self, "_interp"):
+            self._interp = OzakiMatmul(self._Skron().T)
+        if jxw32 is None:
+            if not hasattr(self, "_jxw32"):
+                self._jxw32 = jnp.asarray(
+                    self.grid.jxw.reshape((nc,) + (self.n,) * self.dim),
+                    jnp.float32)
+            jxw32 = self._jxw32
+        xh, xl = split_f64(u)
+        qh, ql = self._interp.apply(self._gather(xh).reshape(nc, N),
+                                    self._gather(xl).reshape(nc, N))
+        cell_shape = (nc,) + (self.n,) * self.dim
+        uq = join_f64(qh.reshape(cell_shape), ql.reshape(cell_shape))
+        d = (uq - exact_quad).astype(jnp.float32)
+        err = sum_f64((d * d * jxw32).reshape(-1))
+        vol = sum_f64(jxw32.reshape(-1))
+        return jnp.sqrt(err / vol)

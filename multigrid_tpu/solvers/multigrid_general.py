@@ -92,17 +92,55 @@ class GeneralMultigridSolver:
         self.ops_dfp = []
         _pair_cls = GeneralLaplaceOzaki if self.use_mxu else GeneralLaplaceDF64
         _sp_cls = GeneralLaplaceMXU if self.use_mxu else GeneralLaplace
+        # on the MXU pair path, rhs assembly and l2_error ride the pair
+        # operators, so the native-f64 twin (emulated-f64 einsums + a
+        # second full-size f64 coefficient transfer per level) is never
+        # needed — built lazily only if something still asks for it
+        # (minimal_surface's field evaluations do)
+        self._mxu_setup = self.use_mxu and self.dp_df64
+        _dp_builders = []
         for g in self.grids:
             coef = g.merged_coefficient(coef_fn)
-            dfp = _pair_cls(g, coef=coef) if self.dp_df64 else None
+            hi = None
+            if self.dp_df64:
+                shape = (g.n_cells,) + (g.n,) * g.dim + (coef.shape[-1],)
+                coef_r = np.asarray(coef, np.float64).reshape(shape)
+                hi_np = coef_r.astype(np.float32)
+                lo_np = (coef_r - hi_np.astype(np.float64)).astype(np.float32)
+                hi = jnp.asarray(hi_np)
+                dfp = _pair_cls(g, coef=(hi, jnp.asarray(lo_np)))
+            else:
+                dfp = None
             self.ops_dfp.append(dfp)
             if self._pure_pair:
                 self.ops.append(dfp)
+            elif hi is not None and v_dtype == jnp.float32:
+                # the sp coefficient IS the pair's hi plane: share the
+                # device array instead of shipping a second ~600 MB copy
+                self.ops.append(_sp_cls(g, v_dtype, coef=hi))
             else:
                 self.ops.append(_sp_cls(g, v_dtype, coef=coef))
-            # native-f64 twin stays for setup/analysis (rhs assembly,
-            # l2_error, minimal_surface's field evaluations)
-            self.ops_dp.append(GeneralLaplace(g, f_dtype, coef=coef))
+            if self._mxu_setup:
+                _dp_builders.append((g, coef_fn))
+            else:
+                self.ops_dp.append(GeneralLaplace(g, f_dtype, coef=coef))
+        if self._mxu_setup:
+            class _LazyDP:
+                def __init__(_s, builders, dtype):
+                    _s._b = builders
+                    _s._v = [None] * len(builders)
+                    _s._dtype = dtype
+
+                def __len__(_s):
+                    return len(_s._b)
+
+                def __getitem__(_s, i):
+                    if _s._v[i] is None:
+                        g_, cf = _s._b[i]
+                        _s._v[i] = GeneralLaplace(g_, _s._dtype, coef_fn=cf)
+                    return _s._v[i]
+
+            self.ops_dp = _LazyDP(_dp_builders, f_dtype)
         if self._pure_pair:
             self.transfers = [None] + [
                 GeneralTransferDF64(self.grids[l], self.grids[l - 1], True)
@@ -130,7 +168,12 @@ class GeneralMultigridSolver:
         for l, g in enumerate(self.grids):
             coords = [g.node_coords[:, d] for d in range(g.dim)]
             vals = np.asarray(exact_fn(coords), np.float64)
-            ubc = jnp.asarray(np.where(g.boundary, vals, 0.0), f_dtype)
+            # ship u_bc SPARSE (boundary = O(surface) nodes) and densify
+            # on device: the dense f64 vector is ~100 MB/level at the 13M
+            # shell size over a ~15 MB/s tunnel
+            bidx = np.nonzero(g.boundary)[0]
+            ubc = jnp.zeros(g.n_dofs, f_dtype).at[
+                jnp.asarray(bidx)].set(jnp.asarray(vals[bidx], f_dtype))
             self.u_bc.append(ubc)
             qc = [g.quad_coords[..., d] for d in range(g.dim)]
             fq = np.broadcast_to(np.asarray(rhs_fn(qc), np.float64),
@@ -141,8 +184,14 @@ class GeneralMultigridSolver:
             # jxw into the compile payload — the remote compile server
             # rejects it (HTTP 413, measured on the shell ladder cycle 9).
             # Eager ops ship device-array operands, not constants.
-            self.rhs.append(self.ops_dp[l].compute_rhs(
-                jnp.asarray(fq.reshape(shape), f_dtype), ubc))
+            if self._mxu_setup:
+                # pair-path assembly: host f*JxW, Ozaki mass matmul,
+                # pair A·u_bc — no emulated-f64 einsums anywhere
+                self.rhs.append(self.ops_dfp[l].compute_rhs_pair(
+                    (fq * g.jxw).reshape(shape), ubc))
+            else:
+                self.rhs.append(self.ops_dp[l].compute_rhs(
+                    jnp.asarray(fq.reshape(shape), f_dtype), ubc))
             eq = np.broadcast_to(np.asarray(exact_fn(qc), np.float64), g.jxw.shape)
             self.exact_quad.append(jnp.asarray(eq.reshape(shape), f_dtype))
 
@@ -364,7 +413,10 @@ class GeneralMultigridSolver:
         # entry points (rhs assembly, l2_error, direct vmult use)
         for l in range(L):
             self.ops[l].C = C_sp[l]
-            self.ops_dp[l].C = jnp.asarray(coefs[l], self.f_dtype)
+            if not self._mxu_setup:
+                # the lazy native-f64 twins are setup-only; touching them
+                # here would build them (f64 transfer + emulated einsums)
+                self.ops_dp[l].C = jnp.asarray(coefs[l], self.f_dtype)
             if self.dp_df64:
                 self.ops_dfp[l].C = C_dp[l]
         # rebuild the static smoothers so the non-param paths (solve()/
@@ -388,6 +440,11 @@ class GeneralMultigridSolver:
 
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
         u = jnp.where(self.bmask[level], self.u_bc[level], sol)
+        if self._mxu_setup:
+            jxw32 = (None if self._pure_pair
+                     else getattr(self.ops[level], "jxw", None))
+            return float(self.ops_dfp[level].l2_error(
+                u, self.exact_quad[level], jxw32))
         return float(self.ops_dp[level].l2_error(u, self.exact_quad[level]))
 
     def v_cycle_timed(self, level: int, defect: jnp.ndarray, n_cyc: int,
