@@ -66,19 +66,25 @@ def check(cycle: int, degree: int = 4) -> bool:
 
     den = np.max(np.abs(y["df64"]))
     dev_dp = float(np.max(np.abs(y["ozaki"] - y["df64"])) / den)
-    dev_sp = float(np.max(np.abs(y["mxu"].astype(np.float64)
-                                 - y["sp"].astype(np.float64))) / den)
+    # each f32 form vs the dp oracle, NOT vs each other: the einsum form
+    # runs its contractions at DEFAULT matmul precision, which on the MXU
+    # quantizes f32 operands to bf16 (measured 2026-08-20: einsum-vs-mxu
+    # dev 1.4e-2 on hardware = bf16 epsilon class, while both agree with
+    # the oracle to f32 class on CPU).  The MXU form (Precision.HIGHEST)
+    # is the accurate one and the one the gate enforces.
+    dev_mxu = float(np.max(np.abs(y["mxu"].astype(np.float64)
+                                  - y["df64"])) / den)
+    dev_ein = float(np.max(np.abs(y["sp"].astype(np.float64)
+                                  - y["df64"])) / den)
     gdofs = g.n_dofs / 1e9
     print(f"cycle={cycle} dofs={g.n_dofs}: dp dev {dev_dp:.2e} "
           f"(df64 {t['df64']*1e3:.1f} ms -> ozaki {t['ozaki']*1e3:.1f} ms = "
           f"{gdofs/t['ozaki']:.3f} GDoF/s, {t['df64']/t['ozaki']:.1f}x), "
-          f"sp dev {dev_sp:.2e} "
+          f"sp dev mxu {dev_mxu:.2e} / einsum {dev_ein:.2e} "
           f"(einsum {t['sp']*1e3:.1f} ms -> mxu {t['mxu']*1e3:.1f} ms = "
           f"{gdofs/t['mxu']:.3f} GDoF/s, {t['sp']/t['mxu']:.1f}x)",
           flush=True)
-    # dp forms must agree to compensated-pair accuracy; the two f32 forms
-    # only to f32 rounding of the (1e6-conditioned) operator
-    return dev_dp < 1e-10 and dev_sp < 5e-5
+    return dev_dp < 1e-10 and dev_mxu < 5e-5
 
 
 def main():

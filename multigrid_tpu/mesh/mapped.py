@@ -113,6 +113,10 @@ class GeneralGrid:
         node_coords[inverse] = coords
         self.node_coords = node_coords
         self.boundary = mesh.boundary_fn(node_coords)
+        # stacked-lattice bookkeeping for the block-padded vector layout
+        # (ops/laplace_block): concat position -> global dof
+        self._lat_inverse = inverse.astype(np.int32)
+        self._lat_offsets = list(offsets)
 
         # per-cell global node lists (lexicographic local numbering)
         cn = []
@@ -156,6 +160,17 @@ class GeneralGrid:
         self._block_offsets_cells = np.cumsum(
             [0] + [int(np.prod(c)) for c in block_cells]
         )
+
+    def block_layout(self) -> "BlockLayout":
+        """Stacked per-block node-lattice ("block-padded") vector layout:
+        the TPU-fast general-path format (see ops/laplace_block).  Nodes
+        shared across block seams are stored once PER BLOCK (duplicated,
+        like the windowed brick layout duplicates cell boundaries), so
+        cell localization becomes reshape-based window ops per block and
+        only an O(surface) duplicate-sum remains unstructured."""
+        if not hasattr(self, "_block_layout"):
+            self._block_layout = BlockLayout(self)
+        return self._block_layout
 
     def child_cells(self) -> np.ndarray:
         """For the next-finer level: fine cell ids per (coarse cell, child),
@@ -208,3 +223,101 @@ def _window_np(x: np.ndarray, axis: int, window: int, stride: int) -> np.ndarray
     sel = [slice(None)] * main.ndim
     sel[axis + 1] = slice(stride - 1, stride)
     return np.concatenate([main, last[tuple(sel)]], axis=axis + 1)
+
+
+class BlockLayout:
+    """Block-padded vector layout tables for one :class:`GeneralGrid` level.
+
+    A block-padded ("bp") vector is the 1-D concatenation of the per-block
+    node lattices (C-order [Z, Y, X] each); a global dof shared by k lattice
+    positions appears k times.  A bp vector is CONSISTENT when all copies of
+    a dof hold the same value; all solver-level vectors maintain this
+    invariant (operators end with :meth:`seam-sum <dup tables>`; masks,
+    axpys and pointwise ops preserve it).
+
+    Tables (host numpy, built once):
+      - ``inverse``      [M] int32: concat position -> global dof
+      - ``offsets``      per-block start positions; ``node_shapes`` per-block
+        lattice dims; ``cell_offsets`` per-block first-cell index into the
+        grid's concatenated cell arrays
+      - ``weights``      [M]: 1/multiplicity of the position's dof (dedup
+        weights for inner products and restriction)
+      - ``dup_src``      [D] int32 positions of all copies of shared dofs,
+        grouped by dof; ``dup_seg`` [D] int32 sorted segment ids;
+        ``n_seg`` segment count
+      - ``interior``     [M] bool: ~Dirichlet
+    """
+
+    def __init__(self, grid: "GeneralGrid"):
+        self.grid = grid
+        p = grid.degree
+        inverse = grid._lat_inverse
+        self.inverse = inverse
+        self.M = int(inverse.size)
+        self.offsets = [int(o) for o in grid._lat_offsets]
+        self.node_shapes = [tuple(c * p + 1 for c in cells)
+                            for cells in grid.block_cells]
+        self.cell_offsets = np.cumsum(
+            [0] + [int(np.prod(c)) for c in grid.block_cells]).tolist()
+        mult = np.bincount(inverse, minlength=grid.n_dofs)
+        self.weights = (1.0 / mult[inverse]).astype(np.float64)
+        dup_pos = np.nonzero(mult[inverse] > 1)[0]
+        g = inverse[dup_pos]
+        order = np.argsort(g, kind="stable")
+        self.dup_src = dup_pos[order].astype(np.int32)
+        uniq, seg = np.unique(g[order], return_inverse=True)
+        self.dup_seg = seg.astype(np.int32)
+        self.n_seg = int(uniq.size)
+        self.interior = ~grid.boundary[inverse]
+
+    # device-side table views (built lazily, cached).  ensure_compile_time
+    # _eval: a first touch from inside a jit trace must still produce a
+    # real device array, not a leaked tracer-backed constant.
+    def _dev(self, name):
+        import jax
+        import jax.numpy as jnp
+
+        key = "_dev_" + name
+        if not hasattr(self, key):
+            with jax.ensure_compile_time_eval():
+                setattr(self, key, jnp.asarray(getattr(self, name)))
+        return getattr(self, key)
+
+    def expand(self, u):
+        """flat dof vector [n_dofs] -> bp vector [M] (consistent)."""
+        import jax.numpy as jnp
+
+        return jnp.take(u, self._dev("inverse"), axis=0)
+
+    def collapse(self, x):
+        """consistent bp vector [M] -> flat dof vector [n_dofs]."""
+        import jax.numpy as jnp
+
+        return jnp.zeros(self.grid.n_dofs, x.dtype).at[
+            self._dev("inverse")].set(x)
+
+    def seam_sum(self, y):
+        """Sum duplicate copies of every shared dof and write the sum back
+        to each copy: the O(surface) continuity fix-up after per-block
+        additive scatters."""
+        import jax
+
+        src = self._dev("dup_src")
+        seg = self._dev("dup_seg")
+        sums = jax.ops.segment_sum(y[src], seg, num_segments=self.n_seg,
+                                   indices_are_sorted=True)
+        return y.at[src].set(sums[seg])
+
+    def blocks(self, x):
+        """bp vector -> list of per-block node-grid views (reshape only)."""
+        out = []
+        for bi, shp in enumerate(self.node_shapes):
+            o = self.offsets[bi]
+            n = int(np.prod(shp))
+            out.append(x[o:o + n].reshape(shp))
+        return out
+
+    def concat(self, blocks):
+        import jax.numpy as jnp
+
+        return jnp.concatenate([b.reshape(-1) for b in blocks])

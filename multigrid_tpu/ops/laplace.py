@@ -51,17 +51,23 @@ def sym_index(dim: int, a: int, b: int) -> int:
     return comps.index(key)
 
 
-def apply_1d(w: jnp.ndarray, mat: jnp.ndarray, axis: int) -> jnp.ndarray:
+def apply_1d(w: jnp.ndarray, mat: jnp.ndarray, axis: int,
+             precision=None) -> jnp.ndarray:
     """Contract ``mat[out, in]`` against node-axis ``axis`` of ``w``.
 
     The batched small-matrix contraction that replaces
     ``apply_1d_matvec_kernel`` (/root/reference/common/matrix_vector_kernel.h:30-45).
+    ``precision``: forwarded to einsum — f32 contractions at DEFAULT
+    precision quantize operands to bf16 on the MXU (CLAUDE.md hardware
+    finding); pass ``jax.lax.Precision.HIGHEST`` where f32 accuracy is
+    load-bearing on TPU.
     """
     nd = w.ndim
     in_subs = list(range(nd))
     out_subs = list(range(nd))
     out_subs[axis] = nd
-    return jnp.einsum(w, in_subs, mat, [nd, axis], out_subs)
+    return jnp.einsum(w, in_subs, mat, [nd, axis], out_subs,
+                      precision=precision)
 
 
 @dataclass(frozen=True)

@@ -82,11 +82,21 @@ class OzakiMatmul:
     for arbitrary constant operands).  Input and output are f32 pairs."""
 
     def __init__(self, M: np.ndarray, n_limbs: int = _N_LIMBS,
-                 max_m: int = _MAX_M, limb_bits: int = _LIMB_BITS):
+                 max_m: int = _MAX_M, limb_bits: int = _LIMB_BITS,
+                 nnz_per_col: Optional[int] = None):
+        """``nnz_per_col``: for BANDED M, the true number of nonzero
+        contraction terms per output — exact-zero bf16 products do not
+        round, so the f32-accumulation exactness bound scales with the
+        band count, not the full contraction length K (used by the
+        block-padded transfer's [Nf, Nc] interpolation bands)."""
         K, N = M.shape
-        if (max_m + 1) * K >= 2 ** (24 - 2 * limb_bits):
+        eff = K if nnz_per_col is None else min(K, nnz_per_col)
+        if nnz_per_col is not None:
+            counts = (M != 0).sum(axis=0)
+            assert counts.max() <= nnz_per_col, (counts.max(), nnz_per_col)
+        if (max_m + 1) * eff >= 2 ** (24 - 2 * limb_bits):
             raise ValueError(
-                f"Ozaki exact-accumulation bound violated: ({max_m + 1})*{K}"
+                f"Ozaki exact-accumulation bound violated: ({max_m + 1})*{eff}"
                 f" >= 2^{24 - 2 * limb_bits}")
         self.K, self.N = K, N
         self.n_limbs = n_limbs

@@ -41,9 +41,15 @@ class GeneralTransfer:
         self._offsets = list(np.ndindex(*(2,) * self.dim))
 
     def _embed(self, wc, s_offsets):
+        import jax
+
         w = wc
         for d, s in enumerate(s_offsets):
-            w = apply_1d(w, self.E[s], 1 + d)
+            # HIGHEST: default-precision f32 einsums quantize to bf16 on
+            # the MXU (CLAUDE.md hardware finding; measured 1.4e-2 class
+            # on the general sp operator 2026-08-20)
+            w = apply_1d(w, self.E[s], 1 + d,
+                         precision=jax.lax.Precision.HIGHEST)
         return w
 
     def prolongate(self, u_coarse: jnp.ndarray) -> jnp.ndarray:
@@ -101,8 +107,11 @@ class GeneralTransfer:
             wf = jnp.take(u, idx.reshape(-1), axis=0).reshape(
                 (self.coarse.n_cells,) + (self.n,) * self.dim
             )
+            import jax
+
             for d, so in enumerate(offs):
-                wf = apply_1d(wf, self.E[so].T, 1 + d)
+                wf = apply_1d(wf, self.E[so].T, 1 + d,
+                              precision=jax.lax.Precision.HIGHEST)
             out = out.at[self.coarse_nodes.reshape(-1)].add(wf.reshape(-1))
         if self.constrained:
             out = jnp.where(self.coarse_interior, out, 0)

@@ -41,12 +41,26 @@ def cg_solve(
     max_iterations: int = 1000,
     abs_tol: float = 1e-16,
     rtol: float = 1e-9,
+    weight: Optional[jnp.ndarray] = None,
 ) -> CGResult:
-    norm0 = _norm(b)
+    """``weight``: optional per-entry dedup weights for the inner products
+    (1/multiplicity), making CG on a duplicated-representation vector
+    (e.g. the block-padded general-path layout) arithmetically identical
+    to CG on the underlying true dof space."""
+    if weight is None:
+        dot, norm = _dot, _norm
+    else:
+        def dot(a, bb):
+            return _dot(a * weight.astype(a.dtype), bb)
+
+        def norm(a):
+            return jnp.sqrt(dot(a, a))
+
+    norm0 = norm(b)
     tol = jnp.maximum(abs_tol, rtol * norm0)
 
     z = precond(b)
-    state = (jnp.zeros_like(b), b, z, _dot(b, z), jnp.array(0), norm0)
+    state = (jnp.zeros_like(b), b, z, dot(b, z), jnp.array(0), norm0)
 
     def cond(s):
         _, _, _, _, it, res = s
@@ -55,12 +69,12 @@ def cg_solve(
     def body(s):
         x, r, p, rz, it, _ = s
         q = A(p)
-        alpha = rz / _dot(p, q)
+        alpha = rz / dot(p, q)
         x = x + alpha * p
         r = r - alpha * q
-        res = _norm(r)
+        res = norm(r)
         z = precond(r)
-        rz_new = _dot(r, z)
+        rz_new = dot(r, z)
         p = z + (rz_new / rz) * p
         return (x, r, p, rz_new, it + 1, res)
 
