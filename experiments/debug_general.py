@@ -2,11 +2,16 @@
 
 Compares, on the live backend, the MXU-native general operators
 (ops/laplace_general_mxu: Ozaki dp sandwich, f32 HIGHEST-precision
-sandwich) against the round-3 sweep-form oracles (GeneralLaplaceDF64,
-einsum GeneralLaplace) on real shell-ladder meshes with the
-poisson_shell coefficient.  CPU/interpret tests cannot see TPU
-precision or fusion behaviour (CLAUDE.md kernel-change rule) — run this
-on hardware before defaulting MGT_GENERAL_MXU anywhere.
+sandwich) AND the block-padded scatter-free forms (ops/laplace_block)
+against the round-3 sweep-form oracles (GeneralLaplaceDF64, einsum
+GeneralLaplace) on real shell-ladder meshes with the poisson_shell
+coefficient.  CPU/interpret tests cannot see TPU precision or fusion
+behaviour (CLAUDE.md kernel-change rule) — run this on hardware before
+defaulting MGT_GENERAL_MXU / MGT_GENERAL_BLOCK anywhere.
+
+At cycles >= 9 the emulated-f64/df64 oracles are skipped (the df64
+COMPILE alone took ~40 min at 13M — general_gate13m r4) and the flat
+Ozaki form is the accuracy reference instead.
 
 Usage: python experiments/debug_general.py [cycle ...]
 (cycles index the poisson_shell ladder: even = 6-block, odd = 12-block,
@@ -19,6 +24,18 @@ import time
 sys.path.insert(0, ".")
 
 
+def _time3(f, *a):
+    import numpy as np
+
+    f(*a).block_until_ready()
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f(*a).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def check(cycle: int, degree: int = 4) -> bool:
     import jax
     import jax.numpy as jnp
@@ -26,6 +43,8 @@ def check(cycle: int, degree: int = 4) -> bool:
 
     from multigrid_tpu.mesh.mapped import GeneralGrid
     from multigrid_tpu.mesh.shapes import hyper_shell, hyper_shell_12
+    from multigrid_tpu.ops.laplace_block import (BlockGeneralMXU,
+                                                 BlockGeneralOzaki)
     from multigrid_tpu.ops.laplace_general import GeneralLaplace
     from multigrid_tpu.ops.laplace_general_df64 import GeneralLaplaceDF64
     from multigrid_tpu.ops.laplace_general_mxu import (GeneralLaplaceMXU,
@@ -36,55 +55,57 @@ def check(cycle: int, degree: int = 4) -> bool:
     mesh = (hyper_shell if cycle % 2 == 0 else hyper_shell_12)(
         0.5, 1.0, n_levels=n_levels)
     g = GeneralGrid(mesh, mesh.max_level, degree)
+    lay = g.block_layout()
     coef = g.merged_coefficient(coef_fn)
-    df64 = GeneralLaplaceDF64(g, coef=coef)
+    slow_oracles = cycle < 9
     oz = GeneralLaplaceOzaki(g, coef=coef)
-    sp = GeneralLaplace(g, jnp.float32, coef=coef)
+    boz = BlockGeneralOzaki(g, coef=coef)
     mxu = GeneralLaplaceMXU(g, jnp.float32, coef=coef)
+    bmx = BlockGeneralMXU(g, jnp.float32, coef=coef)
 
     rng = np.random.default_rng(cycle)
     x = jnp.asarray(rng.standard_normal(g.n_dofs))
     x32 = x.astype(jnp.float32)
-
-    fns = {
-        "df64": jax.jit(df64.vmult),
-        "ozaki": jax.jit(oz.vmult),
-        "sp": jax.jit(sp.vmult),
-        "mxu": jax.jit(mxu.vmult),
-    }
-    y = {}
-    t = {}
-    for k, f in fns.items():
-        arg = x32 if k in ("sp", "mxu") else x
-        y[k] = np.asarray(f(arg))
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            f(arg).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        t[k] = best
-
-    den = np.max(np.abs(y["df64"]))
-    dev_dp = float(np.max(np.abs(y["ozaki"] - y["df64"])) / den)
-    # each f32 form vs the dp oracle, NOT vs each other: the einsum form
-    # runs its contractions at DEFAULT matmul precision, which on the MXU
-    # quantizes f32 operands to bf16 (measured 2026-08-20: einsum-vs-mxu
-    # dev 1.4e-2 on hardware = bf16 epsilon class, while both agree with
-    # the oracle to f32 class on CPU).  The MXU form (Precision.HIGHEST)
-    # is the accurate one and the one the gate enforces.
-    dev_mxu = float(np.max(np.abs(y["mxu"].astype(np.float64)
-                                  - y["df64"])) / den)
-    dev_ein = float(np.max(np.abs(y["sp"].astype(np.float64)
-                                  - y["df64"])) / den)
+    xb = lay.expand(x)
+    xb32 = xb.astype(jnp.float32)
     gdofs = g.n_dofs / 1e9
-    print(f"cycle={cycle} dofs={g.n_dofs}: dp dev {dev_dp:.2e} "
-          f"(df64 {t['df64']*1e3:.1f} ms -> ozaki {t['ozaki']*1e3:.1f} ms = "
-          f"{gdofs/t['ozaki']:.3f} GDoF/s, {t['df64']/t['ozaki']:.1f}x), "
-          f"sp dev mxu {dev_mxu:.2e} / einsum {dev_ein:.2e} "
-          f"(einsum {t['sp']*1e3:.1f} ms -> mxu {t['mxu']*1e3:.1f} ms = "
-          f"{gdofs/t['mxu']:.3f} GDoF/s, {t['sp']/t['mxu']:.1f}x)",
+
+    y_oz = np.asarray(jax.jit(oz.vmult)(x))
+    t_oz = _time3(jax.jit(oz.vmult), x)
+    y_boz = np.asarray(jax.jit(boz.vmult)(xb))
+    t_boz = _time3(jax.jit(boz.vmult), xb)
+    y_mxu = np.asarray(jax.jit(mxu.vmult)(x32))
+    t_mxu = _time3(jax.jit(mxu.vmult), x32)
+    y_bmx = np.asarray(jax.jit(bmx.vmult)(xb32))
+    t_bmx = _time3(jax.jit(bmx.vmult), xb32)
+
+    if slow_oracles:
+        df64 = GeneralLaplaceDF64(g, coef=coef)
+        sp = GeneralLaplace(g, jnp.float32, coef=coef)
+        y_ref = np.asarray(jax.jit(df64.vmult)(x))
+        t_df = _time3(jax.jit(df64.vmult), x)
+        t_sp = _time3(jax.jit(sp.vmult), x32)
+        base = f"df64 {t_df*1e3:.1f} ms / einsum-sp {t_sp*1e3:.1f} ms, "
+    else:
+        y_ref = y_oz
+        base = ""
+    den = np.max(np.abs(y_ref))
+    inv = lay.inverse
+    dev_oz = float(np.max(np.abs(y_oz - y_ref)) / den)
+    dev_boz = float(np.max(np.abs(y_boz - y_ref[inv])) / den)
+    dev_mxu = float(np.max(np.abs(y_mxu - y_ref)) / den)
+    dev_bmx = float(np.max(np.abs(y_bmx - y_ref[inv])) / den)
+    print(f"cycle={cycle} dofs={g.n_dofs}: {base}"
+          f"ozaki {t_oz*1e3:.1f} ms (dev {dev_oz:.2e}) | "
+          f"BLOCK dp {t_boz*1e3:.1f} ms = {gdofs/t_boz:.3f} GDoF/s "
+          f"(dev {dev_boz:.2e}) | mxu-sp {t_mxu*1e3:.1f} ms "
+          f"(dev {dev_mxu:.2e}) | BLOCK sp {t_bmx*1e3:.1f} ms = "
+          f"{gdofs/t_bmx:.3f} GDoF/s (dev {dev_bmx:.2e})",
           flush=True)
-    return dev_dp < 1e-10 and dev_mxu < 5e-5
+    ok = dev_boz < (1e-10 if slow_oracles else 1e-12) and dev_bmx < 5e-5
+    if slow_oracles:
+        ok = ok and dev_oz < 1e-10 and dev_mxu < 5e-5
+    return ok
 
 
 def main():

@@ -48,8 +48,11 @@ class MinimalSurfaceNewton:
         self.jnp = jnp
         self.jax = jax
         mesh = hyper_ball_2d(1.0, n_levels=n_levels)
+        # block_mode off: the Newton machinery reads ops_dp fields and
+        # restrict_solution, which ride the flat layout
         self.solver = GeneralMultigridSolver(
-            mesh, degree, g_fn, zero_fn, n_pre=2, n_post=2, n_cycles=1
+            mesh, degree, g_fn, zero_fn, n_pre=2, n_post=2, n_cycles=1,
+            block_mode=False,
         )
         s = self.solver
         self.dim = 2

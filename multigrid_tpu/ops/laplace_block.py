@@ -242,6 +242,40 @@ class BlockGeneralOzaki(_BlockBase):
         y = self.apply_blocks_f64(xm, Cp)
         return jnp.where(self.interior, rhs - y, rhs - lhs)
 
+    def inverse_diagonal(self, C=None):
+        """df64-accurate diagonal on the bp layout (pure-double smoother
+        preconditioner) — the GeneralLaplaceDF64.inverse_diagonal formula
+        with block window scatters in place of the segment-sum."""
+        from .df64 import SplitMatrix, apply_1d_df64
+        from .laplace import sym_components
+        from .laplace_general_df64 import split_pair
+
+        Cp = self.C if C is None else split_pair(C)
+        Chi, Clo = Cp
+        b = self.grid.basis
+        dim = self.dim
+        dh = dl = None
+        for s_, (a, bb) in enumerate(sym_components(dim)):
+            f = 1.0 if a == bb else 2.0
+            th, tl = Chi[..., s_] * f, Clo[..., s_] * f
+            for e in range(dim):
+                Ta = b.D_col @ b.S if a == e else b.S
+                Tb = b.D_col @ b.S if bb == e else b.S
+                th, tl = apply_1d_df64(
+                    th, tl, SplitMatrix(np.asarray(Ta * Tb).T), 1 + e)
+            if dh is None:
+                dh, dl = th, tl
+            else:
+                dh, dl = df64_add(dh, dl, th, tl)
+        dh = dh.reshape(self.grid.n_cells, self.N)
+        dl = dl.reshape(self.grid.n_cells, self.N)
+        parts = [self._scatter_block_pair(self._cells_of_block(dh, bi),
+                                          self._cells_of_block(dl, bi), bi)
+                 for bi in range(len(self.layout.node_shapes))]
+        diag = self.layout.seam_sum(jnp.concatenate(parts))
+        diag = jnp.where(self.interior, diag, 1.0)
+        return 1.0 / diag
+
     # -------------------------------------------------- setup/analysis
     def _Skron(self):
         S = np.asarray(self.grid.basis.S, np.float64)

@@ -128,16 +128,20 @@ class BlockTransferPair:
         self.lc = coarse.block_layout()
         self.constrained = constrained
         self.n_blocks = len(self.lf.node_shapes)
-        p = fine.basis.n - 1
-        band = 2 * p + 1
         self.Pmm = []    # per block, per axis: (prolong [Nc,Nf], restrict)
         for bi in range(self.n_blocks):
             axes = []
             for d in range(fine.dim):
                 ncc = coarse.block_cells[bi][d]
                 B = banded_prolongation_1d(fine.basis, ncc)
-                axes.append((OzakiMatmul(B.T, nnz_per_col=band),
-                             OzakiMatmul(B, nnz_per_col=band)))
+                # true band counts: a fine node sees <= n coarse nodes
+                # per adjoining cell (prolong), a coarse boundary node
+                # sees both adjoining fine patches (restrict: up to
+                # 2(2p+1)-1)
+                nnz_p = int((B.T != 0).sum(axis=0).max())
+                nnz_r = int((B != 0).sum(axis=0).max())
+                axes.append((OzakiMatmul(B.T, nnz_per_col=nnz_p),
+                             OzakiMatmul(B, nnz_per_col=nnz_r)))
             self.Pmm.append(axes)
         self.fine_interior = jnp.asarray(self.lf.interior)
         self.coarse_interior = jnp.asarray(self.lc.interior)

@@ -65,9 +65,10 @@ def eig_estimate_start_vector(shape, dtype, mask=None) -> jnp.ndarray:
     return build()
 
 
-def _lanczos_init(precond: Callable, rhs: jnp.ndarray):
+def _lanczos_init(precond: Callable, rhs: jnp.ndarray, dot=None):
+    dot = _vdot if dot is None else dot
     z0 = precond(rhs)
-    rz0 = _vdot(rhs, z0)
+    rz0 = dot(rhs, z0)
     # stop contributing once CG has converged to rounding level (the
     # reference's full-size coarse-level estimate relies on deal.II's
     # CG stopping early; stagnated Lanczos tails would pollute T)
@@ -76,17 +77,21 @@ def _lanczos_init(precond: Callable, rhs: jnp.ndarray):
     return (rhs, z0, rz0, jnp.asarray(True)), floor
 
 
-def _lanczos_step(vmult: Callable, precond: Callable, floor, carry):
+def _lanczos_step(vmult: Callable, precond: Callable, floor, carry,
+                  dot=None):
     """One CG-Lanczos iteration (shared by the scan and host-stepped
-    sweeps — the recurrences MUST stay identical)."""
+    sweeps — the recurrences MUST stay identical).  ``dot``: override for
+    duplicated-representation vectors (block-padded layout: dedup-weighted
+    inner products keep the estimate identical to the true dof space)."""
+    dot = _vdot if dot is None else dot
     r, p, rz, valid = carry
     q = vmult(p)
-    pq = _vdot(p, q)
+    pq = dot(p, q)
     ok = valid & (pq > 0) & (rz > floor)
     alpha = jnp.where(ok, rz / jnp.where(pq == 0, 1.0, pq), 0.0)
     r2 = r - alpha * q
     z = precond(r2)
-    rz2 = _vdot(r2, z)
+    rz2 = dot(r2, z)
     beta = jnp.where(ok, rz2 / jnp.where(rz == 0, 1.0, rz), 0.0)
     p2 = z + beta * p
     carry = (
@@ -103,14 +108,15 @@ def lanczos_body(
     precond: Callable,
     n_iterations: int,
     rhs: jnp.ndarray,
+    dot=None,
 ):
     """Traced CG-Lanczos sweep: one ``lax.scan`` returning the CG
     coefficient streams (alphas, betas, validity mask).  Kept jit-free so
     callers can bake it into larger jitted programs with the operator's
     coefficients as ARGUMENTS (one compile across Newton steps)."""
-    carry, floor = _lanczos_init(precond, rhs)
+    carry, floor = _lanczos_init(precond, rhs, dot)
     _, (alphas, betas, oks) = jax.lax.scan(
-        lambda c, _: _lanczos_step(vmult, precond, floor, c),
+        lambda c, _: _lanczos_step(vmult, precond, floor, c, dot),
         carry, None, length=n_iterations)
     return alphas, betas, oks
 

@@ -49,6 +49,7 @@ class GeneralMultigridSolver:
         chebyshev_kind: str = FIRST_KIND,
         dp_df64: Optional[bool] = None,
         use_mxu: Optional[bool] = None,
+        block_mode: Optional[bool] = None,
     ):
         assert n_pre == n_post
         if pure_double:
@@ -75,6 +76,22 @@ class GeneralMultigridSolver:
             else:
                 use_mxu = jax.default_backend() != "cpu"
         self.use_mxu = bool(use_mxu)
+        # Block-padded layout (mesh/mapped.BlockLayout + ops/laplace_block):
+        # the gather/segment-sum operators are SCATTER-BOUND on TPU
+        # (hardware: 0.005 GDoF/s dp at 1.6M, docs/tpu_r4/general_gate.log)
+        # — block mode stores per-block node lattices with duplicated
+        # seams so cell localization is reshape-based window ops and only
+        # an O(surface) seam sum remains.  All solver vectors are then
+        # block-padded [M]; inner products use dedup weights.
+        if block_mode is None:
+            env = os.environ.get("MGT_GENERAL_BLOCK", "")
+            if env != "":
+                block_mode = env not in ("0",)
+            else:
+                block_mode = self.use_mxu and self.dp_df64
+        self.block_mode = bool(block_mode)
+        if self.block_mode:
+            assert self.dp_df64, "block mode rides the pair dp operators"
         # pure-double on TPU = the whole V-cycle rides the pair operators
         self._pure_pair = self.dp_df64 and pure_double
         self.mesh = mesh
@@ -90,14 +107,24 @@ class GeneralMultigridSolver:
         self.ops = []
         self.ops_dp = []
         self.ops_dfp = []
-        _pair_cls = GeneralLaplaceOzaki if self.use_mxu else GeneralLaplaceDF64
-        _sp_cls = GeneralLaplaceMXU if self.use_mxu else GeneralLaplace
+        if self.block_mode:
+            from ..ops.laplace_block import (BlockGeneralMXU,
+                                             BlockGeneralOzaki)
+
+            _pair_cls = BlockGeneralOzaki
+            _sp_cls = BlockGeneralMXU
+            self.layouts = [g.block_layout() for g in self.grids]
+        else:
+            _pair_cls = (GeneralLaplaceOzaki if self.use_mxu
+                         else GeneralLaplaceDF64)
+            _sp_cls = GeneralLaplaceMXU if self.use_mxu else GeneralLaplace
+            self.layouts = None
         # on the MXU pair path, rhs assembly and l2_error ride the pair
         # operators, so the native-f64 twin (emulated-f64 einsums + a
         # second full-size f64 coefficient transfer per level) is never
         # needed — built lazily only if something still asks for it
         # (minimal_surface's field evaluations do)
-        self._mxu_setup = self.use_mxu and self.dp_df64
+        self._mxu_setup = (self.use_mxu or self.block_mode) and self.dp_df64
         _dp_builders = []
         for g in self.grids:
             coef = g.merged_coefficient(coef_fn)
@@ -141,7 +168,21 @@ class GeneralMultigridSolver:
                     return _s._v[i]
 
             self.ops_dp = _LazyDP(_dp_builders, f_dtype)
-        if self._pure_pair:
+        if self.block_mode:
+            from ..ops.transfer_block import BlockTransfer, BlockTransferPair
+
+            self.transfers = [None] + [
+                (BlockTransferPair(self.grids[l], self.grids[l - 1], True)
+                 if self._pure_pair
+                 else BlockTransfer(self.grids[l], self.grids[l - 1],
+                                    v_dtype, True))
+                for l in range(1, L)
+            ]
+            self.transfers_nobc = [None] + [
+                BlockTransferPair(self.grids[l], self.grids[l - 1], False)
+                for l in range(1, L)
+            ]
+        elif self._pure_pair:
             self.transfers = [None] + [
                 GeneralTransferDF64(self.grids[l], self.grids[l - 1], True)
                 for l in range(1, L)
@@ -151,7 +192,9 @@ class GeneralMultigridSolver:
                 GeneralTransfer(self.grids[l], self.grids[l - 1], v_dtype, True)
                 for l in range(1, L)
             ]
-        if self.dp_df64:
+        if self.block_mode:
+            pass
+        elif self.dp_df64:
             # the dp FMG solution prolongation must not ride emulated f64
             self.transfers_nobc = [None] + [
                 GeneralTransferDF64(self.grids[l], self.grids[l - 1], False)
@@ -163,7 +206,10 @@ class GeneralMultigridSolver:
                 for l in range(1, L)
             ]
 
-        self.bmask = [jnp.asarray(g.boundary) for g in self.grids]
+        if self.block_mode:
+            self.bmask = [jnp.asarray(~lay.interior) for lay in self.layouts]
+        else:
+            self.bmask = [jnp.asarray(g.boundary) for g in self.grids]
         self.u_bc, self.rhs, self.exact_quad = [], [], []
         for l, g in enumerate(self.grids):
             coords = [g.node_coords[:, d] for d in range(g.dim)]
@@ -171,9 +217,15 @@ class GeneralMultigridSolver:
             # ship u_bc SPARSE (boundary = O(surface) nodes) and densify
             # on device: the dense f64 vector is ~100 MB/level at the 13M
             # shell size over a ~15 MB/s tunnel
-            bidx = np.nonzero(g.boundary)[0]
-            ubc = jnp.zeros(g.n_dofs, f_dtype).at[
-                jnp.asarray(bidx)].set(jnp.asarray(vals[bidx], f_dtype))
+            if self.block_mode:
+                lay = self.layouts[l]
+                bidx = np.nonzero(~lay.interior)[0]
+                ubc = jnp.zeros(lay.M, f_dtype).at[jnp.asarray(bidx)].set(
+                    jnp.asarray(vals[lay.inverse[bidx]], f_dtype))
+            else:
+                bidx = np.nonzero(g.boundary)[0]
+                ubc = jnp.zeros(g.n_dofs, f_dtype).at[
+                    jnp.asarray(bidx)].set(jnp.asarray(vals[bidx], f_dtype))
             self.u_bc.append(ubc)
             qc = [g.quad_coords[..., d] for d in range(g.dim)]
             fq = np.broadcast_to(np.asarray(rhs_fn(qc), np.float64),
@@ -211,6 +263,10 @@ class GeneralMultigridSolver:
             inv_diag = self._inv_diag_jit(l)(self.ops[l].C)
             self._inv_diag.append(inv_diag)
             rhs0 = eig_estimate_start_vector((self.grids[l].n_dofs,), v_dtype)
+            if self.block_mode:
+                # same start pattern seen through the bp copies, so the
+                # Lanczos estimate matches the flat path's
+                rhs0 = self.layouts[l].expand(rhs0)
             a_, b_, o_ = self._eig_jit(l)(rhs0, self.ops[l].C, inv_diag)
             max_eig, min_eig = tridiag_extremes(a_, b_, o_)
             if l > self.minlevel:
@@ -324,6 +380,8 @@ class GeneralMultigridSolver:
         # tolerances must not silently reuse the first compile
         key = (rtol, abs_tol, max_iterations)
         if key not in self._cg_param_jits:
+            weight = (jnp.asarray(self.layouts[L].weights)
+                      if self.block_mode else None)
             self._cg_param_jits[key] = jax.jit(
                 lambda bb, params: cg_solve(
                     lambda x: self._dp_op(L).vmult(x, C=params["C_dp"][L]),
@@ -331,6 +389,7 @@ class GeneralMultigridSolver:
                     precond=lambda r: self._precond(r, params),
                     max_iterations=max_iterations,
                     abs_tol=abs_tol, rtol=rtol,
+                    weight=weight,
                 )
             )
         res: CGResult = self._cg_param_jits[key](b, self._params)
@@ -348,15 +407,31 @@ class GeneralMultigridSolver:
 
             op = self.ops[level]
             n_it = 15 if level > self.minlevel else self.grids[level].n_dofs
+            dot = self._bp_dot(level)
 
             def f(rhs, C, inv_diag):
                 return lanczos_body(
                     lambda x: op.vmult(x, C=C), lambda r: inv_diag * r,
-                    n_it, rhs,
+                    n_it, rhs, dot=dot,
                 )
 
             self._eig_jits[level] = jax.jit(f)
         return self._eig_jits[level]
+
+    def _bp_dot(self, level: int):
+        """Dedup-weighted inner product for block-padded vectors (None on
+        the flat layout): keeps Lanczos/CG arithmetic identical to the
+        true dof space despite seam copies."""
+        if not self.block_mode:
+            return None
+        w = jnp.asarray(self.layouts[level].weights)
+
+        def dot(a, b):
+            from .cg import _dot as _cgdot
+
+            return _cgdot(a * w.astype(a.dtype), b)
+
+        return dot
 
     def _inv_diag_jit(self, level: int):
         if level not in self._inv_diag_jits:
@@ -390,6 +465,8 @@ class GeneralMultigridSolver:
             rhs0 = eig_estimate_start_vector(
                 (self.grids[l].n_dofs,), self.v_dtype
             )
+            if self.block_mode:
+                rhs0 = self.layouts[l].expand(rhs0)
             a, b_, o = self._eig_jit(l)(rhs0, C_sp[l], inv_diag[l])
             max_eig, min_eig = tridiag_extremes(a, b_, o)
             if l > self.minlevel:
