@@ -58,9 +58,7 @@ def check(cycle: int, degree: int = 4) -> bool:
     lay = g.block_layout()
     coef = g.merged_coefficient(coef_fn)
     slow_oracles = cycle < 9
-    oz = GeneralLaplaceOzaki(g, coef=coef)
     boz = BlockGeneralOzaki(g, coef=coef)
-    mxu = GeneralLaplaceMXU(g, jnp.float32, coef=coef)
     bmx = BlockGeneralMXU(g, jnp.float32, coef=coef)
 
     rng = np.random.default_rng(cycle)
@@ -70,14 +68,45 @@ def check(cycle: int, degree: int = 4) -> bool:
     xb32 = xb.astype(jnp.float32)
     gdofs = g.n_dofs / 1e9
 
-    y_oz = np.asarray(jax.jit(oz.vmult)(x))
-    t_oz = _time3(jax.jit(oz.vmult), x)
     y_boz = np.asarray(jax.jit(boz.vmult)(xb))
     t_boz = _time3(jax.jit(boz.vmult), xb)
-    y_mxu = np.asarray(jax.jit(mxu.vmult)(x32))
-    t_mxu = _time3(jax.jit(mxu.vmult), x32)
     y_bmx = np.asarray(jax.jit(bmx.vmult)(xb32))
     t_bmx = _time3(jax.jit(bmx.vmult), xb32)
+
+    if not slow_oracles:
+        # the FLAT forms do not even compile at 13M (the remote compile
+        # server drops the 196k-cell gather program — general_gate13m,
+        # twice); gate the block dp form by its dedup-weighted SYMMETRY
+        # <Ax, y> = <x, Ay> (a wrong coefficient slice, seam sum or
+        # window adjoint all break it) plus copy-consistency, and the sp
+        # form against the dp result.
+        # interior-masked inputs: vmult's identity boundary rows are not
+        # part of the symmetric operator
+        xi_b = jnp.where(boz.interior, xb, 0.0)
+        x2b = jnp.where(boz.interior, lay.expand(
+            jnp.asarray(rng.standard_normal(g.n_dofs))), 0.0)
+        y1 = np.asarray(jax.jit(boz.vmult)(xi_b))
+        y2 = np.asarray(jax.jit(boz.vmult)(x2b))
+        w = lay.weights
+        xi = np.asarray(xi_b, np.float64)
+        x2 = np.asarray(x2b, np.float64)
+        num = abs(float((w * y1) @ x2) - float((w * xi) @ y2))
+        den_s = float(np.abs(w * y1) @ np.abs(x2))
+        sym = num / den_s
+        den = np.abs(y_boz).max()
+        dev_bmx = float(np.max(np.abs(y_bmx - y_boz)) / den)
+        print(f"cycle={cycle} dofs={g.n_dofs}: BLOCK dp {t_boz*1e3:.1f} ms"
+              f" = {gdofs/t_boz:.3f} GDoF/s (sym dev {sym:.2e}) | "
+              f"BLOCK sp {t_bmx*1e3:.1f} ms = {gdofs/t_bmx:.3f} GDoF/s "
+              f"(dev vs dp {dev_bmx:.2e})", flush=True)
+        return sym < 1e-12 and dev_bmx < 5e-5
+
+    oz = GeneralLaplaceOzaki(g, coef=coef)
+    mxu = GeneralLaplaceMXU(g, jnp.float32, coef=coef)
+    y_oz = np.asarray(jax.jit(oz.vmult)(x))
+    t_oz = _time3(jax.jit(oz.vmult), x)
+    y_mxu = np.asarray(jax.jit(mxu.vmult)(x32))
+    t_mxu = _time3(jax.jit(mxu.vmult), x32)
 
     if slow_oracles:
         df64 = GeneralLaplaceDF64(g, coef=coef)
