@@ -161,16 +161,23 @@ class GeneralGrid:
             [0] + [int(np.prod(c)) for c in block_cells]
         )
 
-    def block_layout(self) -> "BlockLayout":
+    def block_layout(self, pad_multiple: Optional[int] = None) -> "BlockLayout":
         """Stacked per-block node-lattice ("block-padded") vector layout:
         the TPU-fast general-path format (see ops/laplace_block).  Nodes
         shared across block seams are stored once PER BLOCK (duplicated,
         like the windowed brick layout duplicates cell boundaries), so
         cell localization becomes reshape-based window ops per block and
-        only an O(surface) duplicate-sum remains unstructured."""
-        if not hasattr(self, "_block_layout"):
-            self._block_layout = BlockLayout(self)
-        return self._block_layout
+        only an O(surface) duplicate-sum remains unstructured.
+
+        ``pad_multiple`` (or a ``_bp_pad`` attribute set by the solver)
+        rounds the vector length up so it shards evenly over a device
+        mesh; instances are cached per pad value."""
+        if pad_multiple is None:
+            pad_multiple = getattr(self, "_bp_pad", 1)
+        key = f"_block_layout_{pad_multiple}"
+        if not hasattr(self, key):
+            setattr(self, key, BlockLayout(self, pad_multiple))
+        return getattr(self, key)
 
     def child_cells(self) -> np.ndarray:
         """For the next-finer level: fine cell ids per (coarse cell, child),
@@ -248,19 +255,26 @@ class BlockLayout:
       - ``interior``     [M] bool: ~Dirichlet
     """
 
-    def __init__(self, grid: "GeneralGrid"):
+    def __init__(self, grid: "GeneralGrid", pad_multiple: int = 1):
+        """``pad_multiple``: round the bp length up to a multiple (zero
+        tail, interior=False, weight 0) so vectors shard evenly over a
+        device mesh (GeneralMultigridSolver block-mode distribution);
+        1 = no padding (the single-chip default)."""
         self.grid = grid
         p = grid.degree
         inverse = grid._lat_inverse
         self.inverse = inverse
         self.M = int(inverse.size)
+        self.M_pad = -(-self.M // pad_multiple) * pad_multiple
         self.offsets = [int(o) for o in grid._lat_offsets]
         self.node_shapes = [tuple(c * p + 1 for c in cells)
                             for cells in grid.block_cells]
         self.cell_offsets = np.cumsum(
             [0] + [int(np.prod(c)) for c in grid.block_cells]).tolist()
         mult = np.bincount(inverse, minlength=grid.n_dofs)
-        self.weights = (1.0 / mult[inverse]).astype(np.float64)
+        pad = self.M_pad - self.M
+        self.weights = np.concatenate([
+            (1.0 / mult[inverse]).astype(np.float64), np.zeros(pad)])
         dup_pos = np.nonzero(mult[inverse] > 1)[0]
         g = inverse[dup_pos]
         order = np.argsort(g, kind="stable")
@@ -268,7 +282,8 @@ class BlockLayout:
         uniq, seg = np.unique(g[order], return_inverse=True)
         self.dup_seg = seg.astype(np.int32)
         self.n_seg = int(uniq.size)
-        self.interior = ~grid.boundary[inverse]
+        self.interior = np.concatenate([
+            ~grid.boundary[inverse], np.zeros(pad, bool)])
 
     # device-side table views (built lazily, cached).  ensure_compile_time
     # _eval: a first touch from inside a jit trace must still produce a
@@ -284,17 +299,26 @@ class BlockLayout:
         return getattr(self, key)
 
     def expand(self, u):
-        """flat dof vector [n_dofs] -> bp vector [M] (consistent)."""
+        """flat dof vector [n_dofs] -> bp vector [M_pad] (consistent)."""
         import jax.numpy as jnp
 
-        return jnp.take(u, self._dev("inverse"), axis=0)
+        x = jnp.take(u, self._dev("inverse"), axis=0)
+        return self.pad_tail(x)
+
+    def pad_tail(self, x):
+        """append the shardability zero tail (no-op when M_pad == M)."""
+        import jax.numpy as jnp
+
+        if self.M_pad == self.M:
+            return x
+        return jnp.concatenate([x, jnp.zeros(self.M_pad - self.M, x.dtype)])
 
     def collapse(self, x):
-        """consistent bp vector [M] -> flat dof vector [n_dofs]."""
+        """consistent bp vector [M_pad] -> flat dof vector [n_dofs]."""
         import jax.numpy as jnp
 
         return jnp.zeros(self.grid.n_dofs, x.dtype).at[
-            self._dev("inverse")].set(x)
+            self._dev("inverse")].set(x[:self.M])
 
     def seam_sum(self, y):
         """Sum duplicate copies of every shared dof and write the sum back

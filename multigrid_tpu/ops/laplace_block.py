@@ -129,7 +129,8 @@ class BlockGeneralMXU(_BlockBase):
             y = jnp.dot(t, self.Gb, preferred_element_type=self.dtype,
                         precision=jax.lax.Precision.HIGHEST)
             parts.append(self._scatter_block(y, bi))
-        return self.layout.seam_sum(jnp.concatenate(parts))
+        return self.layout.seam_sum(
+            self.layout.pad_tail(jnp.concatenate(parts)))
 
     def vmult(self, src, C=None):
         xm = jnp.where(self.interior, src, 0)
@@ -163,7 +164,8 @@ class BlockGeneralMXU(_BlockBase):
         diag_cells = diag_cells.reshape(self.grid.n_cells, self.N)
         parts = [self._scatter_block(self._cells_of_block(diag_cells, bi), bi)
                  for bi in range(len(self.layout.node_shapes))]
-        diag = self.layout.seam_sum(jnp.concatenate(parts))
+        diag = self.layout.seam_sum(
+            self.layout.pad_tail(jnp.concatenate(parts)))
         diag = jnp.where(self.interior, diag, 1.0)
         return 1.0 / diag
 
@@ -224,7 +226,8 @@ class BlockGeneralOzaki(_BlockBase):
         for bi in range(len(self.layout.node_shapes)):
             yh, yl = self._apply_block_pair(xh, xl, bi, Cp)
             parts.append(self._scatter_block_pair(yh, yl, bi))
-        return self.layout.seam_sum(jnp.concatenate(parts))
+        return self.layout.seam_sum(
+            self.layout.pad_tail(jnp.concatenate(parts)))
 
     def vmult(self, src, C=None):
         from .laplace_general_df64 import split_pair
@@ -272,7 +275,8 @@ class BlockGeneralOzaki(_BlockBase):
         parts = [self._scatter_block_pair(self._cells_of_block(dh, bi),
                                           self._cells_of_block(dl, bi), bi)
                  for bi in range(len(self.layout.node_shapes))]
-        diag = self.layout.seam_sum(jnp.concatenate(parts))
+        diag = self.layout.seam_sum(
+            self.layout.pad_tail(jnp.concatenate(parts)))
         diag = jnp.where(self.interior, diag, 1.0)
         return 1.0 / diag
 
@@ -302,7 +306,8 @@ class BlockGeneralOzaki(_BlockBase):
             ah, al = self._apply_block_pair(xh, xl, bi, self.C)
             yh, yl = df64_add(mh, ml, -ah, -al)
             parts.append(self._scatter_block_pair(yh, yl, bi))
-        b = self.layout.seam_sum(jnp.concatenate(parts))
+        b = self.layout.seam_sum(
+            self.layout.pad_tail(jnp.concatenate(parts)))
         return jnp.where(self.interior, b, 0.0)
 
     def l2_error(self, u, exact_quad, jxw32: Optional[jnp.ndarray] = None):

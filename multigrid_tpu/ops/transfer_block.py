@@ -100,8 +100,8 @@ class BlockTransfer:
 
     def prolongate(self, uc):
         u = jnp.where(self.coarse_interior, uc, 0) if self.constrained else uc
-        out = self._per_block(u, self.lc, self.lc.node_shapes, self.P,
-                              transpose=False)
+        out = self.lf.pad_tail(self._per_block(
+            u, self.lc, self.lc.node_shapes, self.P, transpose=False))
         if self.constrained:
             out = jnp.where(self.fine_interior, out, 0)
         return out
@@ -109,8 +109,8 @@ class BlockTransfer:
     def restrict(self, rf):
         r = jnp.where(self.fine_interior, rf, 0) if self.constrained else rf
         r = r * self.fweights.astype(r.dtype)
-        out = self._per_block(r, self.lf, self.lf.node_shapes, self.P,
-                              transpose=True)
+        out = self.lc.pad_tail(self._per_block(
+            r, self.lf, self.lf.node_shapes, self.P, transpose=True))
         out = self.lc.seam_sum(out)
         if self.constrained:
             out = jnp.where(self.coarse_interior, out, 0)
@@ -175,7 +175,8 @@ class BlockTransferPair:
     def prolongate(self, uc):
         u = jnp.where(self.coarse_interior, uc, 0.0) if self.constrained \
             else uc
-        out = self._per_block(u, self.lc.node_shapes, restrict=False)
+        out = self.lf.pad_tail(
+            self._per_block(u, self.lc.node_shapes, restrict=False))
         if self.constrained:
             out = jnp.where(self.fine_interior, out, 0.0)
         return out
@@ -183,7 +184,8 @@ class BlockTransferPair:
     def restrict(self, rf):
         r = jnp.where(self.fine_interior, rf, 0.0) if self.constrained else rf
         r = r * self.fweights
-        out = self._per_block(r, self.lf.node_shapes, restrict=True)
+        out = self.lc.pad_tail(
+            self._per_block(r, self.lf.node_shapes, restrict=True))
         out = self.lc.seam_sum(out)
         if self.constrained:
             out = jnp.where(self.coarse_interior, out, 0.0)

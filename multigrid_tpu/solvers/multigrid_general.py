@@ -50,6 +50,7 @@ class GeneralMultigridSolver:
         dp_df64: Optional[bool] = None,
         use_mxu: Optional[bool] = None,
         block_mode: Optional[bool] = None,
+        bp_pad: Optional[int] = None,
     ):
         assert n_pre == n_post
         if pure_double:
@@ -113,6 +114,12 @@ class GeneralMultigridSolver:
 
             _pair_cls = BlockGeneralOzaki
             _sp_cls = BlockGeneralMXU
+            # bp_pad (or MGT_GENERAL_PAD): round every level's bp vector
+            # length to a multiple so it shards evenly over a device mesh
+            if bp_pad is None:
+                bp_pad = int(os.environ.get("MGT_GENERAL_PAD", "1") or "1")
+            for g in self.grids:
+                g._bp_pad = int(bp_pad)
             self.layouts = [g.block_layout() for g in self.grids]
         else:
             _pair_cls = (GeneralLaplaceOzaki if self.use_mxu
@@ -219,8 +226,10 @@ class GeneralMultigridSolver:
             # shell size over a ~15 MB/s tunnel
             if self.block_mode:
                 lay = self.layouts[l]
-                bidx = np.nonzero(~lay.interior)[0]
-                ubc = jnp.zeros(lay.M, f_dtype).at[jnp.asarray(bidx)].set(
+                # only REAL boundary positions carry values — the shard
+                # pad tail is interior=False but has no dof behind it
+                bidx = np.nonzero(~lay.interior[:lay.M])[0]
+                ubc = jnp.zeros(lay.M_pad, f_dtype).at[jnp.asarray(bidx)].set(
                     jnp.asarray(vals[lay.inverse[bidx]], f_dtype))
             else:
                 bidx = np.nonzero(g.boundary)[0]

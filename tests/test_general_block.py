@@ -158,3 +158,23 @@ def test_block_solver_pure_double():
     assert ita == itb
     assert abs(a.l2_error(a.maxlevel, xa)
                - b.l2_error(b.maxlevel, xb)) / a.l2_error(a.maxlevel, xa) < 1e-6
+
+
+def test_block_solver_padded_matches_unpadded():
+    """bp_pad (shardability tail) must not change any iterate: pad
+    positions are interior=False, weight-0, value-0 throughout."""
+    from multigrid_tpu.solvers.multigrid_general import GeneralMultigridSolver
+
+    kw = dict(n_pre=3, n_post=3, n_cycles=1, dp_df64=True, use_mxu=True,
+              block_mode=True)
+    a = GeneralMultigridSolver(hyper_shell(0.5, 1.0, n_levels=2), 3,
+                               exact_fn, rhs_fn, coef_fn=coef_fn,
+                               bp_pad=1, **kw)
+    b = GeneralMultigridSolver(hyper_shell(0.5, 1.0, n_levels=2), 3,
+                               exact_fn, rhs_fn, coef_fn=coef_fn,
+                               bp_pad=1024, **kw)
+    assert b.layouts[1].M_pad % 1024 == 0 and b.layouts[1].M_pad > b.layouts[1].M
+    xa, ita, _ = a.solve_cg()
+    xb, itb, _ = b.solve_cg()
+    assert ita == itb
+    assert abs(a.l2_error(1, xa) - b.l2_error(1, xb)) < 1e-12
