@@ -139,20 +139,40 @@ def lanczos_host_stepped(
     with the scan path (identical math)."""
     carry0, floor = jax.jit(lambda r: _lanczos_init(precond, r))(rhs)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(state, floor):
-        carry, alphas, betas, oks, i = state
-        carry, (a, b, ok) = _lanczos_step(vmult, precond, floor, carry)
-        alphas = jax.lax.dynamic_update_index_in_dim(alphas, a, i, 0)
-        betas = jax.lax.dynamic_update_index_in_dim(betas, b, i, 0)
-        oks = jax.lax.dynamic_update_index_in_dim(oks, ok, i, 0)
-        return (carry, alphas, betas, oks, i + 1)
+    # CHUNKED dispatch: one host round-trip per CHUNK Lanczos steps, not
+    # per step — at 125 steps on a slow tunnel day the per-dispatch
+    # latency alone cost 64 s of setup (bench_setup26, 2026-08-20) while
+    # the same estimate ran in 6.4 s on a fast day.  A short fixed-length
+    # in-step scan compiles in seconds (vs 982 s for the full-length
+    # scan); the remainder chunk is a second small program.  The step
+    # recurrence is _lanczos_step, shared with the scan path — the
+    # (alpha, beta, ok) streams are IDENTICAL to the one-step form.
+    CHUNK = 8
+
+    def _make_stepper(k):
+        @partial(jax.jit, donate_argnums=(0,))
+        def stepk(state, floor):
+            carry, alphas, betas, oks, i = state
+            carry, (a, b, ok) = jax.lax.scan(
+                lambda c, _: _lanczos_step(vmult, precond, floor, c),
+                carry, None, length=k)
+            alphas = jax.lax.dynamic_update_slice_in_dim(alphas, a, i, 0)
+            betas = jax.lax.dynamic_update_slice_in_dim(betas, b, i, 0)
+            oks = jax.lax.dynamic_update_slice_in_dim(oks, ok, i, 0)
+            return (carry, alphas, betas, oks, i + k)
+
+        return stepk
 
     dt = rhs.dtype
     state = (carry0, jnp.zeros(n_iterations, dt), jnp.zeros(n_iterations, dt),
              jnp.zeros(n_iterations, bool), jnp.asarray(0, jnp.int32))
-    for _ in range(n_iterations):
-        state = step(state, floor)
+    n_full, rem = divmod(n_iterations, CHUNK)
+    if n_full:
+        step_full = _make_stepper(CHUNK)
+        for _ in range(n_full):
+            state = step_full(state, floor)
+    if rem:
+        state = _make_stepper(rem)(state, floor)
     return state[1], state[2], state[3]
 
 
