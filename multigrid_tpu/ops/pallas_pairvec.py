@@ -234,12 +234,14 @@ def pair_dot_kernel(a: jnp.ndarray, b: jnp.ndarray, w: jnp.ndarray,
 
 
 def use_pairvec_kernels(interpret: bool) -> bool:
-    """MGT_PAIR_VEC_KERNEL gate (default OFF until the hardware
-    bit-exactness + timing A/B lands — CLAUDE.md kernel-change rule).
-    An explicit env setting is honored even for interpret-mode
-    geometries (CPU tests force the kernel path); the default keeps the
-    XLA forms everywhere."""
+    """MGT_PAIR_VEC_KERNEL gate — default ON for compiled (TPU)
+    geometries since 2026-08-20: full gate run bit-clean at 24/40/128
+    incl. the flagship shape (docs/tpu_r4/pairvec_gate.log: axpy 9.66 ms
+    vs 36.0 XLA, dot 7.32 vs 26.3), flagship end-to-end at reference
+    parity (flag128_pairvec.log: 8 its, red 0.0668, L2 4.20e-10), and
+    the headline CG row 3.464 -> 2.185 s (flagrow_pvk.log).  Interpret
+    mode (CPU) keeps the XLA forms unless the env forces the kernels."""
     env = os.environ.get("MGT_PAIR_VEC_KERNEL")
     if env is not None:
         return env not in ("", "0")
-    return False
+    return not interpret
