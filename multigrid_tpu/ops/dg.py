@@ -154,7 +154,8 @@ class DGLaplace:
         in_subs = list(range(nd))
         out_subs = list(range(nd))
         out_subs[axis] = nd
-        return jnp.einsum(a, in_subs, M, [nd, axis], out_subs)
+        return jnp.einsum(a, in_subs, M, [nd, axis], out_subs,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def _trace(self, a, d, side):
         """Contract node axis d with the face vector -> face trace array."""
@@ -162,7 +163,8 @@ class DGLaplace:
         nd = a.ndim
         in_subs = list(range(nd))
         out_subs = [i for i in range(nd) if i != axis]
-        return jnp.einsum(a, in_subs, self.f[side], [axis], out_subs)
+        return jnp.einsum(a, in_subs, self.f[side], [axis], out_subs,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def _lift(self, t, d, side):
         """Adjoint of _trace: outer product with the face vector."""

@@ -96,7 +96,8 @@ class DGLaplaceFaceBased:
         in_subs = list(range(nd))
         out_subs = list(range(nd))
         out_subs[axis] = nd
-        return jnp.einsum(u, in_subs, M, [nd, axis], out_subs)
+        return jnp.einsum(u, in_subs, M, [nd, axis], out_subs,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def _sweep(self, u, M):
         for d in range(self.dim):
@@ -108,7 +109,8 @@ class DGLaplaceFaceBased:
         nd = a.ndim
         in_subs = list(range(nd))
         out_subs = [i for i in range(nd) if i != axis]
-        return jnp.einsum(a, in_subs, self.f[side], [axis], out_subs)
+        return jnp.einsum(a, in_subs, self.f[side], [axis], out_subs,
+                          precision=jax.lax.Precision.HIGHEST)
 
     def _lift(self, t, d, side):
         axis = self.dim + d

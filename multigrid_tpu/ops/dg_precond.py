@@ -120,7 +120,8 @@ class JacobiTransformed:
             in_subs = list(range(nd))
             out_subs = list(range(nd))
             out_subs[axis] = nd
-            u = jnp.einsum(u, in_subs, M, [nd, axis], out_subs)
+            u = jnp.einsum(u, in_subs, M, [nd, axis], out_subs,
+                           precision=jax.lax.Precision.HIGHEST)
         return u
 
     def vmult(self, u: jnp.ndarray) -> jnp.ndarray:

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,7 +31,8 @@ def _apply_node(u, M, dim, d):
     in_subs = list(range(nd))
     out_subs = list(range(nd))
     out_subs[axis] = nd
-    return jnp.einsum(u, in_subs, M, [nd, axis], out_subs)
+    return jnp.einsum(u, in_subs, M, [nd, axis], out_subs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class DGTransfer:
