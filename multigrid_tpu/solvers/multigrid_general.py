@@ -59,6 +59,7 @@ class GeneralMultigridSolver:
         # XLA's f64 emulation makes the native-f64 operator ~100x slower
         # than f32 on TPU (33 s best-of-3 CG at 1.6M shell dofs measured;
         # the 3.2M CG crashed the TPU worker).  Auto-on off-CPU.
+        _dp_df64_auto = dp_df64 is None
         if dp_df64 is None:
             dp_df64 = jax.default_backend() != "cpu"
         self.dp_df64 = bool(dp_df64)
@@ -91,6 +92,11 @@ class GeneralMultigridSolver:
             else:
                 block_mode = self.use_mxu and self.dp_df64
         self.block_mode = bool(block_mode)
+        if self.block_mode and _dp_df64_auto:
+            # an explicitly requested block mode implies the pair dp
+            # operators (there is no native-f64 block twin) — e.g.
+            # MGT_GENERAL_BLOCK=1 on CPU for verification runs
+            self.dp_df64 = True
         if self.block_mode:
             assert self.dp_df64, "block mode rides the pair dp operators"
         # pure-double on TPU = the whole V-cycle rides the pair operators
