@@ -11,7 +11,11 @@
 #   2. debug_spwin   — fused sp windowed kernel + Chebyshev epilogues
 #   3. debug_pairvec — pair-vector CG glue kernels vs XLA forms + oracle
 #   4. debug_general — MXU general-geometry forms vs the df64 oracles
-#   5. debug_mid33   — one mid-ladder end-to-end row (FMG L2 + analyze
+#   5. debug_dg      — DG family: fused f32/dp vs the face-based oracle
+#                      (matvec_dg/program.cc:206-207) + curved/var-coeff/
+#                      JacobiTransformed f32-vs-f64 self checks (the r4
+#                      sp46 failure class can never ship unverified again)
+#   6. debug_mid33   — one mid-ladder end-to-end row (FMG L2 + analyze
 #                      reduction + CG L2 verdict numbers)
 #
 # Usage: bash experiments/hw_gate.sh [outdir]   (default docs/hw_gate)
@@ -41,6 +45,7 @@ run dpwin 3600 python experiments/debug_dpwin.py
 run spwin 3600 python experiments/debug_spwin.py
 run pairvec 3600 python experiments/debug_pairvec.py 24 40
 run general 3600 python experiments/debug_general.py 2 4
+run dg 3600 python experiments/debug_dg.py 12
 run mid33 4800 python experiments/debug_mid33.py 80
 
 echo "=== hw_gate ALL TIERS OK ($STAMP)"

@@ -126,6 +126,7 @@ def lanczos_host_stepped(
     precond: Callable,
     n_iterations: int,
     rhs: jnp.ndarray,
+    dot=None,
 ):
     """Host-stepped CG-Lanczos for the LONG coarse-level estimates (the
     reference runs the coarsest estimate to the full matrix size,
@@ -137,7 +138,7 @@ def lanczos_host_stepped(
     donated device buffers, dispatches queue asynchronously, and the
     host syncs ONCE at the end; the recurrence is _lanczos_step, shared
     with the scan path (identical math)."""
-    carry0, floor = jax.jit(lambda r: _lanczos_init(precond, r))(rhs)
+    carry0, floor = jax.jit(lambda r: _lanczos_init(precond, r, dot))(rhs)
 
     # CHUNKED dispatch: one host round-trip per CHUNK Lanczos steps, not
     # per step — at 125 steps on a slow tunnel day the per-dispatch
@@ -154,7 +155,7 @@ def lanczos_host_stepped(
         def stepk(state, floor):
             carry, alphas, betas, oks, i = state
             carry, (a, b, ok) = jax.lax.scan(
-                lambda c, _: _lanczos_step(vmult, precond, floor, c),
+                lambda c, _: _lanczos_step(vmult, precond, floor, c, dot),
                 carry, None, length=k)
             alphas = jax.lax.dynamic_update_slice_in_dim(alphas, a, i, 0)
             betas = jax.lax.dynamic_update_slice_in_dim(betas, b, i, 0)
@@ -210,6 +211,7 @@ def estimate_eigenvalues(
     precond: Callable,
     n_iterations: int,
     rhs: jnp.ndarray,
+    dot=None,
 ) -> tuple[float, float]:
     """Largest/smallest eigenvalue estimate of P^{-1} A by CG-Lanczos.
 
@@ -227,7 +229,7 @@ def estimate_eigenvalues(
         # compile on XLA:TPU)
         t0 = time.perf_counter()
         alphas_d, betas_d, oks = lanczos_host_stepped(
-            vmult, precond, n_iterations, rhs)
+            vmult, precond, n_iterations, rhs, dot)
         oks = jax.block_until_ready(oks)
         if os.environ.get("MGT_SETUP_TIMING"):
             print(f"#   eig-estimate n={rhs.size} (host-stepped, "
@@ -235,7 +237,8 @@ def estimate_eigenvalues(
                   flush=True)
         return tridiag_extremes(alphas_d, betas_d, oks)
 
-    run = jax.jit(lambda r: lanczos_body(vmult, precond, n_iterations, r))
+    run = jax.jit(lambda r: lanczos_body(vmult, precond, n_iterations, r,
+                                         dot))
     if os.environ.get("MGT_SETUP_TIMING"):
         # split compile (trace+lower+backend compile) from the device run
         # so setup-time hot spots attribute correctly (setup smoother[l])

@@ -381,7 +381,12 @@ class GeneralMultigridSolver:
         if self._fmg_jit is None:
             self._fmg_jit = jax.jit(self._fmg)
         sol = self._fmg_jit(self.rhs, self.u_bc, self._params)
-        return jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
+        sol = jnp.where(self.bmask[self.maxlevel], self.u_bc[self.maxlevel], sol)
+        # API boundary: block mode is an internal layout — callers always
+        # receive the flat [n_dofs] dof vector (advisor r4 medium finding)
+        if self.block_mode:
+            sol = self.layouts[self.maxlevel].collapse(sol)
+        return sol
 
     def _precond(self, r, params=None):
         return self.v_cycle(
@@ -390,7 +395,17 @@ class GeneralMultigridSolver:
 
     def solve_cg(self, rtol=1e-9, abs_tol=1e-16, max_iterations=1000, b=None):
         L = self.maxlevel
-        b = self.rhs[L] if b is None else b
+        # Layout contract (advisor r4): the bp layout stays internal.  A
+        # caller-supplied ``b`` is answered in ITS layout (the nonlinear
+        # Newton loop streams bp residuals and expects bp updates); the
+        # default path expands rhs internally and collapses the solution
+        # back to the flat [n_dofs] dof vector.
+        bp_io = self.block_mode and (
+            b is not None and b.shape[0] == self.layouts[L].M_pad)
+        if b is None:
+            b = self.rhs[L]
+        elif self.block_mode and not bp_io:
+            b = self.layouts[L].expand(jnp.asarray(b))
         # keyed on the stopping criteria: a later call with different
         # tolerances must not silently reuse the first compile
         key = (rtol, abs_tol, max_iterations)
@@ -411,6 +426,8 @@ class GeneralMultigridSolver:
         its = int(res.iterations)
         red = float(res.final_norm / res.initial_norm) ** (1.0 / max(its, 1))
         sol = jnp.where(self.bmask[L], self.u_bc[L], res.x)
+        if self.block_mode and not bp_io:
+            sol = self.layouts[L].collapse(sol)
         return sol, its, red
 
     # --------------------------------------------------- nonlinear support
@@ -531,6 +548,8 @@ class GeneralMultigridSolver:
         # intervals are pytree ARGUMENTS of those programs, not constants
 
     def l2_error(self, level: int, sol: jnp.ndarray) -> float:
+        if self.block_mode and sol.shape[0] == self.grids[level].n_dofs:
+            sol = self.layouts[level].expand(sol)
         u = jnp.where(self.bmask[level], self.u_bc[level], sol)
         if self._mxu_setup:
             jxw32 = (None if self._pure_pair
