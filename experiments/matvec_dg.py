@@ -64,10 +64,26 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64",
             tuple(base), lambda p: (p * scale[None, :]) @ trafo.T,
             degree, kind)
         op = DGLaplaceCurved(cgrid, dtype)
+    elif impl == "pallas":
+        # fused Mosaic kernel (ops/pallas_dg): sp via --dtype float32, dp
+        # (pair Ozaki, p <= 4) via float64.  The TIMED apply runs on the
+        # persistent [cz, N, F] kernel layout (the DG solver vector
+        # format, like the CG windowed-pair layout); verification below
+        # converts through the natural layout against the face oracle.
+        from multigrid_tpu.ops.pallas_dg import PallasDGOzaki, PallasDGSP
+
+        op = (PallasDGOzaki(grid) if dtype_name == "float64"
+              else PallasDGSP(grid))
     else:
         op = DGLaplace(grid, dtype)
     vmult = jax.jit(op.vmult)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(grid.shape), dtype)
+    if impl == "pallas":
+        to_k = (op.to_kernel_pair if dtype_name == "float64"
+                else op.to_kernel)
+        xk = jax.jit(to_k)(x)
+        vmult_k = jax.jit(op.vmult_kernel)
+        vmult_k(xk).block_until_ready()
     y = vmult(x)
     y.block_until_ready()
 
@@ -79,11 +95,12 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64",
     verify = float(jnp.max(jnp.abs(y - y_ref)) / jnp.max(jnp.abs(y_ref)))
 
     n_rep = max(5, min(100, 20_000_000 // grid.n_dofs))
+    timed = (lambda: vmult_k(xk)) if impl == "pallas" else (lambda: vmult(x))
     best = np.inf
     for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(n_rep):
-            z = vmult(x)
+            z = timed()
         z.block_until_ready()
         best = min(best, (time.perf_counter() - t0) / n_rep)
     dofs_per_s = grid.n_dofs / best
@@ -106,11 +123,12 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64",
     gbs = 1e-9 * grid.n_dofs * nbytes * 3 / best
     gflops = 1e-9 * ops / best
     label = (kind if impl == "fused"
-             else f"{kind}:{'ozk' if impl == 'ozaki' else 'crv'}")
+             else f"{kind}:{dict(ozaki='ozk', curved='crv', pallas='plk')[impl]}")
     print(f"{label:8s} p={degree} n_dof={grid.n_dofs:>10d}  {best:.5f} s  "
           f"DoFs/s {dofs_per_s:.4g}  GFlop/s {gflops:.4g}  GB/s {gbs:.4g}  "
           f"ops/dof {ops / grid.n_dofs:.1f}  verify {verify:.2e}")
-    tol = 1e-6 if dtype_name == "float32" else (1e-10 if impl == "ozaki" else 1e-11)
+    tol = (1e-6 if dtype_name == "float32"
+           else (1e-10 if impl in ("ozaki", "pallas") else 1e-11))
     assert verify < tol, verify
     return dofs_per_s
 
@@ -123,7 +141,7 @@ def main():
                     help="refinement steps (cells = 2^(steps/3))")
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--impl", default="fused",
-                    choices=["fused", "ozaki", "curved", "both"])
+                    choices=["fused", "ozaki", "curved", "pallas", "both"])
     args = ap.parse_args()
     for degree in range(args.min_degree, args.max_degree + 1):
         for kind in ("hermite", "gll", "gauss"):
@@ -133,6 +151,8 @@ def main():
                 run(degree, kind, args.steps, args.dtype, impl="ozaki")
             if args.impl == "curved":
                 run(degree, kind, args.steps, args.dtype, impl="curved")
+            if args.impl == "pallas":
+                run(degree, kind, args.steps, args.dtype, impl="pallas")
 
 
 if __name__ == "__main__":

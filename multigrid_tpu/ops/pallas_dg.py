@@ -1,0 +1,503 @@
+"""Fused Mosaic SIP-DG matvec: the TPU speed-of-light DG path.
+
+One kernel pass per z cell layer evaluates the whole block 7-point DG
+stencil of ops/dg_stencil (volume + all 12 face flux terms + basis
+changes folded into three MXU matmul families):
+
+    layer DMA (own + next z layer) -> per-cell power-of-2 scale ->
+    limb split -> A0 group matmuls (dense own-cell block) ->
+    T group matmuls (all-face value/gn traces) -> in-VMEM neighbor
+    exchange (lane rolls for x/y, sequential carry + one Tzb matmul for
+    z, Dirichlet mirror as trace-space sign masks) -> wire limb split ->
+    per-direction L group matmuls (incoming flux lifts) -> one clean
+    [N, F] block store.
+
+This is the TPU re-derivation of the reference's 750-line fused cell+face
+kernel (/root/reference/common/laplace_operator_dg.h:1110-1861): where the
+reference hand-schedules SIMD lanes, even-odd sweeps and MPI face packs,
+here every hot op is a near-square bf16 limb matmul on the MXU and the
+face exchange is a register-level lane roll.  Vector layout ``[cz, N, F]``
+(node-major sublanes, layer cells in lanes, F = cy*cx zero-padded to the
+128-lane tile) — DG has no shared dofs, so unlike the CG windowed layout
+there are no duplicated slots; the layout is a pure transpose of the
+natural block array and persists across smoother iterations.
+
+Precision tiers (the established schemes of ops/pallas_windowed*):
+  - PallasDGSP:    f32 in/out, 3 x 8-bit limbs, pairs k+l <= 2
+                   (6 block products, ~2^-24 truncation = f32 HIGHEST
+                   class; same as the brick sp kernel).
+  - PallasDGOzaki: f32 (hi, lo) pair in/out, 7 x 7-bit limbs, pairs
+                   k+l <= 6 (28 products); group terms m <= 1 combine
+                   compensated, the m >= 2 tail sums in plain f32 (tail
+                   magnitude <= 2^-14 sigma -> ~1e-11 relative class, the
+                   hardware-verified accuracy of the XLA dp DG operator,
+                   docs/tpu_r4/matvec_dg_dp34.log).  The dp
+                   exact-accumulation bound caps 3-D pairs at p = 4
+                   (ops/laplace_dense.py:169-171 rationale).
+
+Limb scales ride pow2_ceil-style exponent-bit extraction (f32 exp2 is
+inexact on integer args — CLAUDE.md; ops/laplace_general_mxu.pow2_ceil_f32).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .df64 import df64_add, join_f64, split_f64, two_sum
+from .dg import DGGrid
+from .dg_stencil import build_stencil
+from .laplace_dense import _split_limbs_f64
+
+_I0 = np.int32(0)
+
+
+def _pow2_ceil_kernel(s: jnp.ndarray) -> jnp.ndarray:
+    """Smallest power of two >= s via exponent-bit extraction (exact; the
+    kernel twin of ops/laplace_general_mxu.pow2_ceil_f32)."""
+    bits = jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.uint32)
+    p = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0x7F800000), jnp.float32)
+    return jnp.where(s == p, p, p * np.float32(2.0))
+
+
+def _col_sigma(a: jnp.ndarray):
+    """Per-column power-of-2 scale (sigma, 1/sigma) from max |a| rows."""
+    s = jnp.max(jnp.abs(a), axis=0, keepdims=True)
+    sig = _pow2_ceil_kernel(jnp.maximum(s, np.float32(1e-30)))
+    sigma = jnp.where(s > 0, sig, np.float32(1.0))
+    return sigma, np.float32(1.0) / sigma
+
+
+def _split_limbs_sp(u: jnp.ndarray, n_limbs: int, bits: int):
+    """[R, F] f32 -> (sigma [1, F], bf16 limb stack [n_limbs*R, F])."""
+    sigma, inv_sigma = _col_sigma(u)
+    r = u * inv_sigma
+    limbs = []
+    for k in range(n_limbs):
+        scale = np.float32(2.0 ** (bits * (k + 1)))
+        inv = np.float32(2.0 ** (-bits * (k + 1)))
+        chopped = jnp.round(r * scale) * inv
+        r = r - chopped
+        limbs.append(
+            (chopped * np.float32(2.0 ** (bits * k))).astype(jnp.bfloat16))
+    return sigma, jnp.concatenate(limbs, axis=0)
+
+
+def _split_limbs_pair(uh: jnp.ndarray, ul: jnp.ndarray, n_limbs: int,
+                      bits: int):
+    """f32 pair [R, F] -> (sigma, bf16 limb stack [n_limbs*R, F]); the
+    two_sum chain folds the lo plane in (ops/pallas_windowed scheme)."""
+    sigma, inv_sigma = _col_sigma(uh)
+    rh = uh * inv_sigma
+    rl = ul * inv_sigma
+    limbs = []
+    for k in range(n_limbs):
+        scale = np.float32(2.0 ** (bits * (k + 1)))
+        inv = np.float32(2.0 ** (-bits * (k + 1)))
+        chopped = jnp.round(rh * scale) * inv
+        rh = rh - chopped
+        rh, rl = two_sum(rh, rl)
+        limbs.append(
+            (chopped * np.float32(2.0 ** (bits * k))).astype(jnp.bfloat16))
+    return sigma, jnp.concatenate(limbs, axis=0)
+
+
+class _MatStack:
+    """Limb group stack of a constant f64 matrix M [K_in, R_out] for
+    dot_general(Km, vec_limbs[:(m+1)*K], contract dim0 x dim0) -> [R_out, F]
+    (the brick Kstack layout, ops/laplace_dense._split_limbs_f64)."""
+
+    def __init__(self, MT: np.ndarray, n_limbs: int, bits: int, max_m: int):
+        MT = np.asarray(MT, np.float64)
+        # per-OUTPUT-ROW power-of-2 normalization, folded back into the
+        # limbs: a single global matrix sigma starves small-magnitude
+        # output rows of limb bits when row scales are heterogeneous (the
+        # gll/gauss basis-change-folded matrices span ~2^10 across rows —
+        # measured 30x accuracy loss vs hermite in interpret).  Powers of
+        # two keep each limb's b-bit mantissa exact, and every output
+        # element's products still share one scale grid, so the f32
+        # exact-accumulation argument (ops/laplace_dense.py:213) is
+        # unchanged.
+        mx = np.max(np.abs(MT), axis=0)
+        rho = np.exp2(np.ceil(np.log2(np.where(mx > 0, mx, 1.0))))
+        _, limbs = _split_limbs_f64(MT / rho[None, :], n_limbs, bits)
+        limbs = [lk * rho[None, :].astype(np.float32) for lk in limbs]
+        self.sigma = 1.0
+        self.K = MT.shape[0]
+        self.bits = bits
+        self.max_m = max_m
+        self.off = [0]
+        blocks = []
+        for m in range(max_m + 1):
+            blocks.append(np.vstack([limbs[m - l] for l in range(m + 1)]))
+            self.off.append(self.off[-1] + (m + 1) * self.K)
+        self.stack = jnp.asarray(np.vstack(blocks), jnp.bfloat16)
+
+    def terms(self, kst_ref, big, sigma_col):
+        """Yield the per-group f32-exact partial products (scale folded)."""
+        for m in range(self.max_m + 1):
+            Km = kst_ref[self.off[m]: self.off[m + 1], :]
+            Ym = jax.lax.dot_general(
+                Km, big[: (m + 1) * self.K],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            delta = np.float32(self.sigma * 2.0 ** (-self.bits * m))
+            yield Ym * (delta * sigma_col)
+
+
+def _acc_sp(terms):
+    acc = None
+    for t in terms:
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _acc_pair(terms, acc=None, tail_plain_m: int = 2):
+    """Compensated accumulation of ordered group terms: m < tail_plain_m
+    compensated (df64), the geometric tail (<= 2^-7m relative) in plain
+    f32 — ~1e-11 class at tail_plain_m=2 (module docstring)."""
+    acc_h, acc_l = acc if acc is not None else (None, None)
+    tail = None
+    for m, t in enumerate(terms):
+        if m < tail_plain_m:
+            if acc_h is None:
+                acc_h, acc_l = t, jnp.zeros_like(t)
+            else:
+                acc_h, acc_l = df64_add(acc_h, acc_l, t, jnp.zeros_like(t))
+        else:
+            tail = t if tail is None else tail + t
+    if tail is not None:
+        acc_h, acc_l = df64_add(acc_h, acc_l, tail, jnp.zeros_like(tail))
+    return acc_h, acc_l
+
+
+class _PallasDGBase:
+    """Shared scaffolding of the sp / dp fused DG kernels."""
+
+    pair = False
+
+    def __init__(self, grid: DGGrid, interpret: bool = False,
+                 f_pad: int | None = None):
+        assert grid.dim == 3
+        self.grid = grid
+        self.interpret = interpret
+        st = build_stencil(grid)
+        self.st = st
+        self.N = st.N
+        self.CH = st.CH
+        self.TR = st.TR
+        self.n2 = st.n2
+        self.cz, self.cy, self.cx = grid.cells
+        F = self.cy * self.cx
+        self.F = F
+        if f_pad is not None:
+            assert f_pad >= F
+            self.Fp = f_pad
+        elif interpret:
+            self.Fp = F
+        else:
+            self.Fp = -(-F // 128) * 128
+        nl, bits, mm = self.n_limbs, self.limb_bits, self.max_m
+        if self.pair:
+            # dp exact-accumulation bound (ops/laplace_dense.py:213): the
+            # largest group contracts (max_m+1)*K bf16 limb products
+            for K in (self.N, 2 * self.CH):
+                if (mm + 1) * K >= 2 ** (24 - 2 * bits):
+                    raise ValueError(
+                        f"Ozaki exact-accumulation bound violated: "
+                        f"({mm + 1})*{K} >= 2^{24 - 2 * bits} "
+                        "(3-D dp DG kernel is p <= 4; use the df64 path)")
+        # CHANNEL BALANCING: gn-trace magnitudes run up to ~2^5 above the
+        # value traces for the gll/gauss kinds (measured: 35x at p=3),
+        # so a per-column wire sigma would quantize the value channels
+        # ~2^5 coarser than their own scale.  Scale each face block's gn
+        # rows of T down by a power of two (and L's matching columns up)
+        # so all wire rows share one magnitude class — exact at setup,
+        # invisible to the mirror sign masks (value/gn split unchanged).
+        Tb = np.array(st.T)
+        Lb = np.array(st.L)
+        n2 = self.n2
+        for d in range(3):
+            for s in (0, 1):
+                r0 = st.face_rows(d, s).start
+                umax = max(np.abs(Tb[r0: r0 + n2]).max(), 1e-300)
+                gmax = max(np.abs(Tb[r0 + n2: r0 + 2 * n2]).max(), 1e-300)
+                beta = 2.0 ** np.ceil(np.log2(gmax / umax))
+                Tb[r0 + n2: r0 + 2 * n2] /= beta
+                Lb[:, r0 + n2: r0 + 2 * n2] *= beta
+        self.mA = _MatStack(st.A0.T, nl, bits, mm)
+        self.mT = _MatStack(Tb.T, nl, bits, mm)
+        # next-layer z-bottom traces: face block (d=0, s=0) only
+        self.mTzb = _MatStack(Tb[st.face_rows(0, 0)].T, nl, bits, mm)
+        # per-direction incoming lifts (contraction over 2*CH wire rows)
+        self.mL = [
+            _MatStack(Lb[:, 2 * d * self.CH: 2 * (d + 1) * self.CH].T,
+                      nl, bits, mm)
+            for d in range(3)
+        ]
+
+    # ------------------------------------------------- layout conversions
+    def to_kernel(self, u: jnp.ndarray) -> jnp.ndarray:
+        """natural f32 [cz, cy, cx, n, n, n] -> [cz+1, N, Fp] (one zero
+        halo layer appended; pad lanes zero)."""
+        cz = self.cz
+        w = u.astype(jnp.float32).transpose(0, 3, 4, 5, 1, 2).reshape(
+            cz, self.N, self.F)
+        return jnp.pad(w, ((0, 1), (0, 0), (0, self.Fp - self.F)))
+
+    def from_kernel(self, y: jnp.ndarray) -> jnp.ndarray:
+        """[cz, N, Fp] -> natural [cz, cy, cx, n, n, n]."""
+        nn = self.grid.n
+        return y[:, :, : self.F].reshape(
+            self.cz, nn, nn, nn, self.cy, self.cx).transpose(0, 4, 5, 1, 2, 3)
+
+    # ------------------------------------------------------- wire assembly
+    def _wire(self, t_parts, tz_parts, tcar_read, zi):
+        """Assemble the incoming wire block [TR, Fp] (per plane) from the
+        outgoing traces: x/y lane rolls, z carry + next-layer traces,
+        Dirichlet mirror sign masks.  ``t_parts``/``tz_parts``/
+        ``tcar_read`` are tuples of planes (1 for sp, 2 for pair)."""
+        CH, n2, Fp, F = self.CH, self.n2, self.Fp, self.F
+        cz, cy, cx = self.cz, self.cy, self.cx
+        nplanes = len(t_parts)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (CH, Fp), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (CH, Fp), 1)
+        ix = lane % np.int32(cx)
+        iy = lane // np.int32(cx)
+        # mirror: value rows negate, gn rows keep (u+ = -u-, gn+ = gn-)
+        msign = jnp.where(row < np.int32(n2), np.float32(-1.0),
+                          np.float32(1.0))
+        padmask = (lane < np.int32(F)).astype(jnp.float32)
+
+        def blk(plane, d, s):
+            r0 = (2 * d + s) * CH
+            return plane[r0: r0 + CH]
+
+        out = []
+        for p_i in range(nplanes):
+            t = t_parts[p_i]
+            chunks = []
+            # ---- d = 0 (z): carry from below, Tzb from above
+            own0 = blk(t, 0, 0)
+            own1 = blk(t, 0, 1)
+            from_below = jnp.where(zi > 0, tcar_read[p_i][...],
+                                   msign * own0)
+            from_above = jnp.where(zi < np.int32(cz - 1), tz_parts[p_i],
+                                   msign * own1)
+            chunks.append(from_below * padmask)
+            chunks.append(from_above * padmask)
+            # ---- d = 1 (y): roll by +-cx lanes
+            for s in (0, 1):
+                own = blk(t, 1, s)
+                opp = blk(t, 1, 1 - s)
+                shift = np.int32(cx if s == 0 else Fp - cx)
+                nb = pltpu.roll(opp, shift, 1)
+                bnd = (iy == np.int32(0 if s == 0 else cy - 1))
+                chunks.append(jnp.where(bnd, msign * own, nb) * padmask)
+            # ---- d = 2 (x): roll by +-1 lane
+            for s in (0, 1):
+                own = blk(t, 2, s)
+                opp = blk(t, 2, 1 - s)
+                shift = np.int32(1 if s == 0 else Fp - 1)
+                nb = pltpu.roll(opp, shift, 1)
+                bnd = (ix == np.int32(0 if s == 0 else cx - 1))
+                chunks.append(jnp.where(bnd, msign * own, nb) * padmask)
+            # channel order d-major: z0, z1, y0, y1, x0, x1
+            out.append(jnp.concatenate(chunks, axis=0))
+        return out
+
+
+class PallasDGSP(_PallasDGBase):
+    """f32 fused DG A.u (f32-HIGHEST accuracy class)."""
+
+    n_limbs = 3
+    limb_bits = 8
+    max_m = 2
+    pair = False
+
+    # -------------------------------------------------------------- kernel
+    def _kernel(self, x_hbm, a_ref, t_ref, z_ref, l0_ref, l1_ref, l2_ref,
+                out_ref, slab, tcar, sem):
+        zi = pl.program_id(0)
+        N, TR, CH, Fp = self.N, self.TR, self.CH, self.Fp
+
+        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(zi, 2)], slab, sem)
+        cp.start()
+        cp.wait()
+
+        sig_o, big_o = _split_limbs_sp(slab[0], self.n_limbs, self.limb_bits)
+        sig_n, big_n = _split_limbs_sp(slab[1], self.n_limbs, self.limb_bits)
+
+        y = _acc_sp(self.mA.terms(a_ref, big_o, sig_o))
+        t = _acc_sp(self.mT.terms(t_ref, big_o, sig_o))
+        tz = _acc_sp(self.mTzb.terms(z_ref, big_n, sig_n))
+
+        (wire,) = self._wire((t,), (tz,), (tcar,), zi)
+        tcar[...] = t[CH: 2 * CH]                     # own (d=0, s=1) block
+
+        for d, lref in enumerate((l0_ref, l1_ref, l2_ref)):
+            chunk = wire[2 * d * CH: 2 * (d + 1) * CH]
+            sig_w, big_w = _split_limbs_sp(chunk, self.n_limbs,
+                                           self.limb_bits)
+            y = y + _acc_sp(self.mL[d].terms(lref, big_w, sig_w))
+
+        out_ref[0] = y
+
+    def _call(self, xk: jnp.ndarray) -> jnp.ndarray:
+        N, TR, CH, Fp, cz = self.N, self.TR, self.CH, self.Fp, self.cz
+        nl = self.n_limbs
+        mac = (self.mA.stack.shape[0] * N + self.mT.stack.shape[0] * TR
+               + self.mTzb.stack.shape[0] * CH
+               + sum(m.stack.shape[0] * N for m in self.mL))
+        const_spec = [
+            pl.BlockSpec(m.stack.shape, lambda zi: (_I0, _I0),
+                         memory_space=pltpu.VMEM)
+            for m in (self.mA, self.mT, self.mTzb, *self.mL)
+        ]
+        return pl.pallas_call(
+            self._kernel,
+            grid=(cz,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), *const_spec],
+            out_specs=pl.BlockSpec((1, N, Fp), lambda zi: (zi, _I0, _I0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((cz, N, Fp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, N, Fp), jnp.float32),
+                pltpu.VMEM((CH, Fp), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mac * Fp * cz,
+                bytes_accessed=3 * xk.size * 4,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xk, self.mA.stack, self.mT.stack, self.mTzb.stack,
+          *(m.stack for m in self.mL))
+
+    # ----------------------------------------------------------- interface
+    def vmult_kernel(self, xk: jnp.ndarray) -> jnp.ndarray:
+        """[cz+1, N, Fp] persistent layout in -> [cz, N, Fp] out."""
+        xk = jax.lax.optimization_barrier(xk)
+        return jax.lax.optimization_barrier(self._call(xk))
+
+    def vmult(self, u: jnp.ndarray) -> jnp.ndarray:
+        """natural f32 block layout in/out (conversions included)."""
+        return self.from_kernel(self.vmult_kernel(self.to_kernel(u)))
+
+    def vmult_residual(self, rhs, lhs):
+        return rhs - self.vmult(lhs)
+
+
+class PallasDGOzaki(_PallasDGBase):
+    """dp (f32-pair) fused DG A.u, ~1e-11 relative class; p <= 4."""
+
+    n_limbs = 7
+    limb_bits = 7
+    max_m = 6
+    pair = True
+
+    # ------------------------------------------------- layout conversions
+    def to_kernel_pair(self, u64: jnp.ndarray) -> jnp.ndarray:
+        """natural f64 [cz, cy, cx, n, n, n] -> [cz+1, 2, N, Fp]."""
+        cz = self.cz
+        uh, ul = split_f64(u64)
+        w = jnp.stack([uh, ul], axis=1)               # [cz, 2, cy, cx, n...]
+        w = w.transpose(0, 1, 4, 5, 6, 2, 3).reshape(cz, 2, self.N, self.F)
+        return jnp.pad(w, ((0, 1), (0, 0), (0, 0), (0, self.Fp - self.F)))
+
+    def from_kernel_pair(self, y: jnp.ndarray) -> jnp.ndarray:
+        """[cz, 2, N, Fp] -> natural f64."""
+        nn = self.grid.n
+        v = y[:, :, :, : self.F].reshape(
+            self.cz, 2, nn, nn, nn, self.cy, self.cx
+        ).transpose(0, 1, 5, 6, 2, 3, 4)
+        return join_f64(v[:, 0], v[:, 1])
+
+    # -------------------------------------------------------------- kernel
+    def _kernel(self, x_hbm, a_ref, t_ref, z_ref, l0_ref, l1_ref, l2_ref,
+                out_ref, slab, tcar_h, tcar_l, sem):
+        zi = pl.program_id(0)
+        N, TR, CH, Fp = self.N, self.TR, self.CH, self.Fp
+
+        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(zi, 2)], slab, sem)
+        cp.start()
+        cp.wait()
+
+        sig_o, big_o = _split_limbs_pair(slab[0, 0], slab[0, 1],
+                                         self.n_limbs, self.limb_bits)
+        sig_n, big_n = _split_limbs_pair(slab[1, 0], slab[1, 1],
+                                         self.n_limbs, self.limb_bits)
+
+        yh, yl = _acc_pair(self.mA.terms(a_ref, big_o, sig_o))
+        th, tl = _acc_pair(self.mT.terms(t_ref, big_o, sig_o))
+        tzh, tzl = _acc_pair(self.mTzb.terms(z_ref, big_n, sig_n))
+
+        wh, wl = self._wire((th, tl), (tzh, tzl), (tcar_h, tcar_l), zi)
+        tcar_h[...] = th[CH: 2 * CH]
+        tcar_l[...] = tl[CH: 2 * CH]
+
+        for d, lref in enumerate((l0_ref, l1_ref, l2_ref)):
+            ch_h = wh[2 * d * CH: 2 * (d + 1) * CH]
+            ch_l = wl[2 * d * CH: 2 * (d + 1) * CH]
+            sig_w, big_w = _split_limbs_pair(ch_h, ch_l, self.n_limbs,
+                                             self.limb_bits)
+            yh, yl = _acc_pair(self.mL[d].terms(lref, big_w, sig_w),
+                               acc=(yh, yl))
+
+        out_ref[0, 0] = yh
+        out_ref[0, 1] = yl
+
+    def _call(self, xk: jnp.ndarray) -> jnp.ndarray:
+        N, TR, CH, Fp, cz = self.N, self.TR, self.CH, self.Fp, self.cz
+        mac = (self.mA.stack.shape[0] * N + self.mT.stack.shape[0] * TR
+               + self.mTzb.stack.shape[0] * CH
+               + sum(m.stack.shape[0] * N for m in self.mL))
+        const_spec = [
+            pl.BlockSpec(m.stack.shape, lambda zi: (_I0, _I0),
+                         memory_space=pltpu.VMEM)
+            for m in (self.mA, self.mT, self.mTzb, *self.mL)
+        ]
+        return pl.pallas_call(
+            self._kernel,
+            grid=(cz,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), *const_spec],
+            out_specs=pl.BlockSpec((1, 2, N, Fp), lambda zi: (zi, _I0, _I0,
+                                                              _I0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((cz, 2, N, Fp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, N, Fp), jnp.float32),
+                pltpu.VMEM((CH, Fp), jnp.float32),
+                pltpu.VMEM((CH, Fp), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mac * Fp * cz,
+                bytes_accessed=3 * xk.size * 4,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xk, self.mA.stack, self.mT.stack, self.mTzb.stack,
+          *(m.stack for m in self.mL))
+
+    # ----------------------------------------------------------- interface
+    def vmult_kernel(self, xk: jnp.ndarray) -> jnp.ndarray:
+        """[cz+1, 2, N, Fp] pair layout in -> [cz, 2, N, Fp] out."""
+        xk = jax.lax.optimization_barrier(xk)
+        return jax.lax.optimization_barrier(self._call(xk))
+
+    def vmult(self, u64: jnp.ndarray) -> jnp.ndarray:
+        """natural f64 block layout in/out (conversions included)."""
+        return self.from_kernel_pair(self.vmult_kernel(
+            self.to_kernel_pair(u64)))
+
+    def vmult_residual(self, rhs, lhs):
+        return rhs - self.vmult(lhs)

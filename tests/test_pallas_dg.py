@@ -1,0 +1,124 @@
+"""Interpret-mode correctness of the fused Mosaic DG kernels
+(ops/pallas_dg) vs the sweep operator oracle (ops/dg.DGLaplace).
+
+CPU/interpret parity is NECESSARY but not sufficient: TPU precision and
+Mosaic fusion behaviour require the hardware gate
+(experiments/debug_dg.py tier + matvec_dg --impl pallas rows) before any
+default flip — CLAUDE.md kernel-change rule.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigrid_tpu.ops.dg import DGGrid, DGLaplace
+from multigrid_tpu.ops.dg_stencil import DGLaplaceStencil
+from multigrid_tpu.ops.pallas_dg import PallasDGOzaki, PallasDGSP
+
+
+def _grid(cells, p, kind, seed=0):
+    rng = np.random.default_rng(seed)
+    J = np.diag(1.0 / np.array(cells)) @ (np.eye(3)
+                                          + 0.08 * rng.random((3, 3)))
+    return DGGrid(cells=cells, jacobian=tuple(map(tuple, J)), degree=p,
+                  kind=kind)
+
+
+CASES = [
+    ((3, 2, 4), 3),
+    ((2, 3, 2), 4),
+    ((1, 1, 1), 3),   # all faces Dirichlet-mirrored
+    ((1, 2, 1), 4),
+    ((4, 1, 3), 3),
+]
+
+
+@pytest.mark.parametrize("kind", ["hermite", "gll", "gauss"])
+@pytest.mark.parametrize("cells,p", CASES)
+def test_stencil_matches_sweep_operator(kind, cells, p):
+    """Dense-stencil factorization == sweep operator at f64 (1e-14)."""
+    g = _grid(cells, p, kind)
+    op = DGLaplace(g, jnp.float64)
+    st = DGLaplaceStencil(g)
+    u = jnp.asarray(np.random.default_rng(1).standard_normal(g.shape))
+    y0 = np.asarray(op.vmult(u))
+    y1 = np.asarray(st.vmult_natural(u))
+    assert np.abs(y1 - y0).max() / np.abs(y0).max() < 1e-14
+
+
+@pytest.mark.parametrize("kind", ["hermite", "gll", "gauss"])
+@pytest.mark.parametrize("cells,p", CASES)
+def test_sp_kernel_interpret(kind, cells, p):
+    """f32 fused kernel: f32-HIGHEST accuracy class vs the f64 oracle."""
+    g = _grid(cells, p, kind)
+    op = DGLaplace(g, jnp.float64)
+    k = PallasDGSP(g, interpret=True)
+    u = np.random.default_rng(2).standard_normal(g.shape)
+    y0 = np.asarray(op.vmult(jnp.asarray(u)))
+    y1 = np.asarray(k.vmult(jnp.asarray(u, jnp.float32)))
+    assert np.abs(y1 - y0).max() / np.abs(y0).max() < 3e-6
+
+
+@pytest.mark.parametrize("kind", ["hermite", "gll", "gauss"])
+@pytest.mark.parametrize("cells,p", CASES)
+def test_dp_kernel_interpret(kind, cells, p):
+    """Pair-dp fused kernel: ~1e-11 class (the hardware-verified accuracy
+    of the XLA dp DG operator, docs/tpu_r4/matvec_dg_dp34.log)."""
+    g = _grid(cells, p, kind)
+    op = DGLaplace(g, jnp.float64)
+    k = PallasDGOzaki(g, interpret=True)
+    u = np.random.default_rng(3).standard_normal(g.shape)
+    y0 = np.asarray(op.vmult(jnp.asarray(u)))
+    y1 = np.asarray(k.vmult(jnp.asarray(u)))
+    assert np.abs(y1 - y0).max() / np.abs(y0).max() < 5e-11
+
+
+def test_lane_padding_matches_unpadded():
+    """A padded lane geometry (f_pad > cy*cx) must not change any output
+    value (pad lanes zero end-to-end; the hardware default pads F to the
+    128-lane tile)."""
+    g = _grid((2, 2, 3), 3, "hermite")
+    u = np.random.default_rng(4).standard_normal(g.shape)
+    a = PallasDGSP(g, interpret=True)
+    b = PallasDGSP(g, interpret=True, f_pad=16)
+    ya = np.asarray(a.vmult(jnp.asarray(u, jnp.float32)))
+    yb = np.asarray(b.vmult(jnp.asarray(u, jnp.float32)))
+    np.testing.assert_array_equal(ya, yb)
+    # pair kernel too
+    c = PallasDGOzaki(g, interpret=True)
+    d = PallasDGOzaki(g, interpret=True, f_pad=16)
+    yc = np.asarray(c.vmult(jnp.asarray(u)))
+    yd = np.asarray(d.vmult(jnp.asarray(u)))
+    np.testing.assert_array_equal(yc, yd)
+
+
+def test_kernel_layout_roundtrip():
+    g = _grid((2, 3, 2), 4, "gll")
+    k = PallasDGSP(g, interpret=True, f_pad=8)
+    u = jnp.asarray(
+        np.random.default_rng(5).standard_normal(g.shape), jnp.float32)
+    w = k.to_kernel(u)
+    assert w.shape == (g.cells[0] + 1, k.N, 8)
+    np.testing.assert_array_equal(np.asarray(k.from_kernel(w[:-1])),
+                                  np.asarray(u))
+    kp = PallasDGOzaki(g, interpret=True, f_pad=8)
+    u64 = jnp.asarray(np.random.default_rng(6).standard_normal(g.shape))
+    wp = kp.to_kernel_pair(u64)
+    # the (hi, lo) pair carries 48 mantissa bits: roundtrip is 2^-48 class
+    np.testing.assert_allclose(
+        np.asarray(kp.from_kernel_pair(wp[:-1])), np.asarray(u64),
+        rtol=0, atol=2e-14)
+
+
+def test_vmult_residual():
+    g = _grid((2, 2, 2), 3, "gauss")
+    k = PallasDGSP(g, interpret=True)
+    op = DGLaplace(g, jnp.float64)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(g.shape)
+    x = rng.standard_normal(g.shape)
+    r0 = np.asarray(op.vmult_residual(jnp.asarray(b), jnp.asarray(x)))
+    r1 = np.asarray(k.vmult_residual(jnp.asarray(b, jnp.float32),
+                                     jnp.asarray(x, jnp.float32)))
+    assert np.abs(r1 - r0).max() / max(np.abs(r0).max(), 1e-30) < 1e-5
