@@ -52,22 +52,6 @@ def check(cells):
     scale = np.max(np.abs(y_ref)) or 1.0
     mv_dev = float(np.max(np.abs(y_win - y_ref))) / scale
 
-    # 2b. fused-residual epilogue (MGT_DP_RESID_FUSED): must be
-    # BIT-identical to vmult_windowed + the XLA df64_add tail
-    from multigrid_tpu.ops.df64 import df64_add
-
-    rhs = jnp.asarray(rng.standard_normal(grid.shape), jnp.float64)
-    rhs_w = jax.jit(lambda r: win.to_windowed(
-        jnp.where(win.interior, r, 0)))(rhs)
-
-    def _two_step(xw_, rw_):
-        yw = win.vmult_windowed(xw_)
-        return df64_add(rw_[:, 0], rw_[:, 1], -yw[:, 0], -yw[:, 1])[0]
-
-    d_ref = np.asarray(jax.jit(_two_step)(xw, rhs_w))
-    d_fused = np.asarray(jax.jit(win.resid_fused_pair)(xw, rhs_w))
-    rf_dev = float(np.max(np.abs(d_fused - d_ref)))
-
     loc = ""
     if mv_dev > 1e-12:
         d = np.abs(y_win - y_ref)
@@ -79,16 +63,10 @@ def check(cells):
                f" ({len(nz)}/{d.size} wrong)")
 
     print(f"cells={cells}: roundtrip dev {rt_dev:.2e}, "
-          f"matvec rel dev {mv_dev:.2e}, resid_fused dev {rf_dev:.2e}{loc}",
-          flush=True)
-    # the fused-resid variant is enforced only when its knob is on: it is
-    # default-off and KNOWN BROKEN on hardware (dpwin_gate18) — the dev
-    # column stays printed so a fix shows up in the next gate run
-    import os
-
-    enforce_rf = os.environ.get("MGT_DP_RESID_FUSED", "0") not in ("", "0")
-    return (mv_dev <= 1e-12 and rt_dev < 5e-15
-            and (rf_dev == 0.0 or not enforce_rf))
+          f"matvec rel dev {mv_dev:.2e}{loc}", flush=True)
+    # (the MGT_DP_RESID_FUSED tier was deleted with the dead kernel path
+    # in r5 — it miscompiled on hardware and never shipped, dpwin_gate18)
+    return mv_dev <= 1e-12 and rt_dev < 5e-15
 
 
 def main():

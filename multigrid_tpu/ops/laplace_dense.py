@@ -235,7 +235,11 @@ class DenseLaplaceOzaki(_DenseBase):
     def _limb_split_device(self, uh, ul):
         """Per-cell scaled 7-bit limb extraction from an f32 pair [C, N]."""
         s = jnp.max(jnp.abs(uh), axis=1, keepdims=True)
-        sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(s, 1e-30))))
+        from .laplace_general_mxu import pow2_ceil_f32
+
+        # exact power-of-2 scale (f32 exp2 is inexact on integer args —
+        # CLAUDE.md exp2 note; migrated r5 from exp2(ceil(log2)))
+        sigma = pow2_ceil_f32(jnp.maximum(s, 1e-30))
         sigma = jnp.where(s > 0, sigma, 1.0)
         rh = uh / sigma
         rl = ul / sigma

@@ -180,10 +180,12 @@ class _PallasDGBase:
 
     pair = False
 
-    def __init__(self, grid: DGGrid, interpret: bool = False,
+    def __init__(self, grid: DGGrid, interpret: bool | None = None,
                  f_pad: int | None = None):
         assert grid.dim == 3
         self.grid = grid
+        if interpret is None:   # Mosaic is TPU-only: interpret elsewhere
+            interpret = jax.default_backend() != "tpu"
         self.interpret = interpret
         st = build_stencil(grid)
         self.st = st

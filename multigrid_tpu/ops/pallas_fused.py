@@ -175,8 +175,9 @@ class PallasFusedOzaki:
             _debug_write(uh)
             return
         s_ = jnp.max(jnp.abs(uh), axis=0, keepdims=True)
-        sigma = jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(s_, 1e-30))))
-        sigma = jnp.where(s_ > 0, sigma, 1.0)          # [1, F]
+        from .pallas_windowed_sp import pow2_sigma
+
+        sigma, _ = pow2_sigma(s_)                      # exact (CLAUDE.md exp2 note)   # [1, F]
         rh = uh / sigma
         rl = ul / sigma
         limbs = []

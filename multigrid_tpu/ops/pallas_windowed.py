@@ -47,6 +47,7 @@ from .laplace import DiagCoef
 from .laplace_dense import (_LIMB_BITS, _MAX_M, _N_LIMBS, _split_limbs_f64,
                             element_matrix)
 from .masks import bcast_and, interior_axes_jnp
+from .pallas_windowed_sp import pow2_sigma
 
 _I0 = np.int32(0)
 
@@ -194,12 +195,12 @@ class PallasWindowedOzaki:
 
         uh = rows(sh)
         ul = rows(sl)
+        # power-of-2 scale via exponent-bit extraction: f32 exp2 is
+        # INEXACT on integer arguments (exp2(21.0) = 2^21+1 on XLA:CPU,
+        # 34 bad points on TPU — CLAUDE.md exp2 note; the inverse is the
+        # exact exponent negation 0x7F000000 - bits)
         s_ = jnp.max(jnp.abs(uh), axis=0, keepdims=True)
-        e_ = jnp.ceil(jnp.log2(jnp.maximum(s_, 1e-30)))
-        sigma = jnp.where(s_ > 0, jnp.exp2(e_), 1.0)   # [1, F]
-        # exact inverse power of 2: bit-identical to the divide, and VPU
-        # divides cost ~4x multiplies at 2N rows per column
-        inv_sigma = jnp.where(s_ > 0, jnp.exp2(-e_), 1.0)
+        sigma, inv_sigma = pow2_sigma(s_)              # [1, F]
         rh = uh * inv_sigma
         rl = ul * inv_sigma
         limbs = []
@@ -328,20 +329,6 @@ class PallasWindowedOzaki:
         out_ref[0, :, 0, 0] = bh                       # [p, RW, G]
         out_ref[0, :, 1, 0] = bl
 
-    def _kernel_resid(self, x_hbm, b_ref, kst_ref, out_ref, slab, carry_h,
-                      carry_l, zcarry_h, zcarry_l, sem):
-        """Fused dp residual epilogue: the constrained f32 V-cycle defect
-        ``hi(df64(b - A x))`` emitted by the same kernel pass that computes
-        A x (the dp analogue of PallasWindowedSP._kernel_resid) — the pair
-        matvec result never round-trips HBM and the defect is ONE plane
-        instead of two.  ``b_ref`` is the blocked windowed pair of the
-        constrained rhs; the compensated subtraction is the same df64_add
-        as residual_defect_win_pair's XLA tail (bit-identical math)."""
-        yh, yl = self._matvec_planes(x_hbm, kst_ref, slab, carry_h, carry_l,
-                                     zcarry_h, zcarry_l, sem)
-        dh, _ = df64_add(b_ref[:, 0], b_ref[:, 1], -yh, -yl)
-        out_ref[0, :, 0] = dh                          # [p, RW, G]
-
     def _fused(self, xw):
         n, G, cy_b = self.n, self.G, self.cy_b
         p = self.p
@@ -381,75 +368,6 @@ class PallasWindowedOzaki:
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=self.interpret,
         )(xw, self.Kstack)
-
-    def _fused_resid(self, xw, bw):
-        """pallas_call scaffolding for the fused-residual epilogue: same
-        grid, scratch, VMEM limit and cost model as :meth:`_fused`; one
-        extra blocked pair input (the windowed rhs) and a single-plane
-        output."""
-        n, G, cy_b = self.n, self.G, self.cy_b
-        p = self.p
-        cz, nyc = self.cz, self.nyc
-        rows = cy_b * p
-        flops = 2 * sum((m + 1) for m in range(_MAX_M + 1)) * self.N**2 \
-            * self.cy * self.cx * cz
-        return pl.pallas_call(
-            self._kernel_resid,
-            grid=(cz, nyc),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((p, 2, rows, G),
-                             lambda zi, yj: (zi, _I0, yj, _I0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.off[-1], self.N),
-                             lambda zi, yj: (_I0, _I0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, p, 1, rows, G),
-                lambda zi, yj: (zi, _I0, yj, _I0, _I0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((cz, p, nyc, rows, G),
-                                           jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((n, 2, self.Yp, G), jnp.float32),
-                pltpu.VMEM((n, n, self.cxp), jnp.float32),
-                pltpu.VMEM((n, n, self.cxp), jnp.float32),
-                pltpu.VMEM((self.cy * p, G), jnp.float32),
-                pltpu.VMEM((self.cy * p, G), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=flops,
-                bytes_accessed=2 * xw.size * 4 + xw.size * 2,
-                transcendentals=0,
-            ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-            interpret=self.interpret,
-        )(xw, bw, self.Kstack)
-
-    def resid_fused_pair(self, xw: jnp.ndarray,
-                         bw: jnp.ndarray) -> jnp.ndarray:
-        """``hi(df64(b - A x))`` on windowed pairs in ONE kernel pass ->
-        f32 defect [Z, Yp, G].  Top-z/y-pad rows are zero on both operands
-        (constrained-rhs + boundary-zero matvec invariants), so the XLA
-        tail stays the same reshape+pad as vmult_windowed."""
-        p, G = self.p, self.G
-        cz, Y, Yp = self.cz, self.Y, self.Yp
-        xw, bw = jax.lax.optimization_barrier((xw, bw))
-        o = self._fused_resid(xw, bw)
-        o = jax.lax.optimization_barrier(o)
-        o = o.reshape(cz * p, Y - 1, G)
-        return jnp.pad(o, ((0, 1), (0, Yp - Y + 1), (0, 0)))
-
-    @staticmethod
-    def _use_resid_fused() -> bool:
-        """MGT_DP_RESID_FUSED gate (default OFF until the hardware
-        bit-exactness + timing A/B lands — CLAUDE.md kernel-change rule)."""
-        import os
-
-        return os.environ.get("MGT_DP_RESID_FUSED", "0") not in ("", "0")
 
     # ---------------------------------------------------------- pair apply
     def vmult_windowed(self, xw: jnp.ndarray) -> jnp.ndarray:
@@ -502,8 +420,6 @@ class PallasWindowedOzaki:
         from .df64 import df64_add
 
         xw = self.to_windowed(jnp.where(self.interior, lhs, 0))
-        if self._use_resid_fused():
-            return self.resid_fused_pair(xw, rhs_w)
         yw = self.vmult_windowed(xw)
         dh, _ = df64_add(rhs_w[:, 0], rhs_w[:, 1], -yw[:, 0], -yw[:, 1])
         return dh
@@ -513,8 +429,6 @@ class PallasWindowedOzaki:
         ALREADY in the windowed pair layout (interior-masked, consistent
         duplicates — ops/transfer.OzakiWindowedProlongate): the node grid
         never materializes between the FMG transfer and the V-cycle."""
-        if self._use_resid_fused():
-            return self.resid_fused_pair(lhs_w, rhs_w)
         yw = self.vmult_windowed(lhs_w)
         dh, _ = df64_add(rhs_w[:, 0], rhs_w[:, 1], -yw[:, 0], -yw[:, 1])
         return dh

@@ -41,6 +41,23 @@ from .masks import bcast_and, interior_axes_jnp
 
 _I0 = np.int32(0)
 
+
+def pow2_sigma(s_: jnp.ndarray):
+    """(sigma, 1/sigma) per-column power-of-2 limb scale via exponent-bit
+    extraction — EXACT, replacing ``exp2(ceil(log2(s)))`` which is inexact
+    on integer arguments on both XLA:CPU and XLA:TPU (CLAUDE.md exp2 note;
+    probe experiments/debug_exp2.py).  The inverse of a normal power of
+    two is the exact exponent negation ``0x7F000000 - bits``."""
+    s_ = jnp.maximum(s_.astype(jnp.float32), np.float32(1e-30))
+    bits = jax.lax.bitcast_convert_type(s_, jnp.uint32)
+    p2 = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0x7F800000), jnp.float32)
+    sigma = jnp.where(s_ == p2, p2, p2 * np.float32(2.0))
+    inv = jax.lax.bitcast_convert_type(
+        np.uint32(0x7F000000)
+        - jax.lax.bitcast_convert_type(sigma, jnp.uint32), jnp.float32)
+    return sigma, inv
+
 _LIMB_BITS_SP = 8     # 3 x 8 = 24 bits: exact split of an f32 input
 _N_LIMBS_SP = 3
 _MAX_M_SP = 2         # pairs k+l <= 2: 6 block products, ~2^-24 truncation
@@ -245,13 +262,10 @@ class PallasWindowedSP:
         w = w.transpose(0, 2, 3, 1, 4)                 # [lz, ly, lx, cy_b, cx]
         u = w.reshape(N, F)
 
+        # power-of-2 scale via exponent-bit extraction (exact; CLAUDE.md
+        # exp2 note — f32 exp2 is inexact on integer arguments)
         s_ = jnp.max(jnp.abs(u), axis=0, keepdims=True)
-        e_ = jnp.ceil(jnp.log2(jnp.maximum(s_, 1e-30)))
-        sigma = jnp.where(s_ > 0, jnp.exp2(e_), 1.0)   # [1, F]
-        # multiply by the exact inverse power of 2 instead of dividing:
-        # bit-identical (2^-k is exact) and VPU divides are ~4x multiplies
-        # at N rows per column
-        inv_sigma = jnp.where(s_ > 0, jnp.exp2(-e_), 1.0)
+        sigma, inv_sigma = pow2_sigma(s_)              # [1, F]
         rh = u * inv_sigma
         limbs = []
         for k in range(_N_LIMBS_SP):

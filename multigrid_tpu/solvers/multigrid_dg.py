@@ -77,7 +77,7 @@ class _DGOuterCG:
             self._cg_jit = jax.jit(
                 partial(
                     cg_solve,
-                    self.op_dp.vmult,
+                    getattr(self, "op_dp_fast", self.op_dp).vmult,
                     precond=self._precond,
                     max_iterations=max_iterations,
                     abs_tol=1e-16,
@@ -109,6 +109,7 @@ class MultigridSolverDG(_DGOuterCG):
         f_dtype=jnp.float64,
         sp_impl: str = "dense_chunked",
         dp_impl: str = "ozaki_chunked",
+        dg_sp_impl: str = "auto",
     ):
         assert n_pre == n_post
         self.mesh = mesh
@@ -123,10 +124,29 @@ class MultigridSolverDG(_DGOuterCG):
         self.dg_grid = _dg_grid_from_mesh(mesh, L, degree, kind)
         self.op = DGLaplace(self.dg_grid, v_dtype)
         self.op_ref = DGLaplace(self.dg_grid, f_dtype)   # rhs/error assembly
+        # Fused Mosaic DG kernels (ops/pallas_dg) for the two hot matvec
+        # streams of the solve: the outer-CG dp operator and the DG
+        # smoother's sp operator.  MGT_DG_PALLAS gates the default
+        # (CLAUDE.md: kernel defaults flip only on a passing hardware
+        # gate); the dp pair kernel is bounded to p <= 4 (Ozaki
+        # exact-accumulation), matching the XLA dp DG operator's bound.
+        import os
+
+        env = os.environ.get("MGT_DG_PALLAS", "")
+        use_pallas = (env not in ("", "0") if env != ""
+                      else jax.default_backend() not in ("cpu",)
+                      and jax.device_count() == 1)   # GSPMD path stays XLA
+        self._use_pallas = use_pallas and self.dg_grid.dim == 3
         if dp_impl == "df64":
             from ..ops.dg_df64 import DGLaplaceDF64
 
             self.op_dp = DGLaplaceDF64(self.dg_grid)
+        elif dp_impl == "pallas" or (
+                dp_impl in ("ozaki", "ozaki_chunked") and self._use_pallas
+                and degree <= 4):
+            from ..ops.pallas_dg import PallasDGOzaki
+
+            self.op_dp = PallasDGOzaki(self.dg_grid)
         elif dp_impl in ("ozaki", "ozaki_chunked"):
             from ..ops.dg_ozaki import DGLaplaceOzaki
 
@@ -134,9 +154,16 @@ class MultigridSolverDG(_DGOuterCG):
         else:
             self.op_dp = self.op_ref
         self.jacobi = JacobiTransformed(self.op)
+        if dg_sp_impl == "pallas" or (dg_sp_impl == "auto"
+                                      and self._use_pallas):
+            from ..ops.pallas_dg import PallasDGSP
+
+            self._sp_op = PallasDGSP(self.dg_grid)
+        else:
+            self._sp_op = self.op
         self.coupling = CGDGCoupling(self.cg.grids[L], self.dg_grid, v_dtype)
         self.smooth_dg = Chebyshev.create(
-            self.op.vmult,
+            self._sp_op.vmult,
             None,
             smoothing_range=20.0,
             degree=n_pre,
@@ -165,7 +192,7 @@ class MultigridSolverDG(_DGOuterCG):
         """multigrid_solver_dg.h:605-633."""
         defect = self._constrain_dg(defect)
         upd = self.smooth_dg.vmult(defect)
-        r = self.op.vmult_residual(defect, upd)
+        r = self._sp_op.vmult_residual(defect, upd)
         r_cg = self.cg._constrain(self.cg.maxlevel, self.coupling.dg_to_cg(r))
         corr = self.cg.v_cycle(self.cg.maxlevel, r_cg, 1)
         upd = upd + self._constrain_dg(self.coupling.cg_to_dg(corr))
@@ -237,6 +264,26 @@ class MultigridSolverDGPlain(_DGOuterCG):
 
         self.ops = [make_op(l, v_dtype) for l in range(L)]
         self.op_dp = make_op(L - 1, f_dtype)
+        # fused Mosaic kernels for the affine constant-coefficient 3-D
+        # case (same gate as MultigridSolverDG: smoother matvecs + the
+        # outer-CG dp matvec; JacobiTransformed, rhs assembly and error
+        # evaluation stay on the XLA operators).  Curved / var-coeff
+        # levels keep XLA throughout.
+        import os
+
+        env = os.environ.get("MGT_DG_PALLAS", "")
+        use_pallas = (env not in ("", "0") if env != ""
+                      else jax.default_backend() not in ("cpu",)
+                      and jax.device_count() == 1)
+        self._use_pallas = (use_pallas and mesh.dim == 3
+                            and mapping is None and coeff_fn is None)
+        self._sp_ops = list(self.ops)
+        if self._use_pallas:
+            from ..ops.pallas_dg import PallasDGOzaki, PallasDGSP
+
+            self._sp_ops = [PallasDGSP(self.grids[l]) for l in range(L)]
+            if degree <= 4:
+                self.op_dp_fast = PallasDGOzaki(self.grids[L - 1])
         self.transfers = [None] + [
             DGTransfer(self.grids[l], self.grids[l - 1], v_dtype)
             for l in range(1, L)
@@ -248,14 +295,14 @@ class MultigridSolverDGPlain(_DGOuterCG):
             if l > 0:
                 deg = n_pre if l < self.maxlevel else max(1, n_pre - 1)
                 sm = Chebyshev.create(
-                    self.ops[l].vmult, None, smoothing_range=20.0,
+                    self._sp_ops[l].vmult, None, smoothing_range=20.0,
                     degree=deg, eig_cg_n_iterations=15, kind=FIRST_KIND,
                     precond=jac.vmult,
                     example=jnp.zeros(self.grids[l].shape, v_dtype),
                 )
             else:
                 sm = Chebyshev.create(
-                    self.ops[l].vmult, None, smoothing_range=1e-5,
+                    self._sp_ops[l].vmult, None, smoothing_range=1e-5,
                     degree=None, eig_cg_n_iterations=self.grids[l].n_dofs,
                     kind=FIRST_KIND,
                     precond=jac.vmult,
@@ -283,7 +330,7 @@ class MultigridSolverDGPlain(_DGOuterCG):
         if level == 0:
             return self.smoothers[0].vmult(defect)
         upd = self.smoothers[level].vmult(defect)
-        t = self.ops[level].vmult_residual(defect, upd)
+        t = self._sp_ops[level].vmult_residual(defect, upd)
         dc = self.transfers[level].restrict(t)
         corr = self.v_cycle(level - 1, dc)
         upd = upd + self._constrain(level, self.transfers[level].prolongate(corr))

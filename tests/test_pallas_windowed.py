@@ -150,37 +150,3 @@ def test_windowed_dup_weights_dot():
     assert got == pytest.approx(want, rel=1e-12)
 
 
-@pytest.mark.parametrize("cells,cy_chunk,pad_to", [((3, 4, 4), 4, None),
-                                                   ((4, 8, 4), 4, None),
-                                                   ((2, 4, 3), 2, 5)])
-def test_resid_fused_pair_bitexact(cells, cy_chunk, pad_to):
-    """The fused-residual epilogue (MGT_DP_RESID_FUSED) must be
-    BIT-identical to the two-step path (vmult_windowed + XLA df64_add tail)
-    — same arithmetic on the same values, including a padded geometry."""
-    grid = make_grid(cells)
-    op = PallasWindowedOzaki(grid, cy_chunk=cy_chunk, interpret=True,
-                             pad_to=pad_to)
-    rng = np.random.default_rng(7)
-    lhs = jnp.asarray(rng.standard_normal(grid.shape))
-    rhs = jnp.asarray(rng.standard_normal(grid.shape))
-    import jax
-
-    rhs_w = op.to_windowed(jnp.where(op.interior, rhs, 0))
-    xw = op.to_windowed(jnp.where(op.interior, lhs, 0))
-    from multigrid_tpu.ops.df64 import df64_add
-
-    yw = op.vmult_windowed(xw)
-    ref = np.asarray(df64_add(rhs_w[:, 0], rhs_w[:, 1],
-                              -yw[:, 0], -yw[:, 1])[0])
-    fused = np.asarray(op.resid_fused_pair(xw, rhs_w))
-    np.testing.assert_array_equal(fused, ref)
-    # the gated entry point routes through the kernel when the env is set
-    import os
-    os.environ["MGT_DP_RESID_FUSED"] = "1"
-    try:
-        gated = np.asarray(op.residual_defect_win_pair(rhs_w, xw))
-        gated2 = np.asarray(op.residual_defect_win(rhs_w, lhs))
-    finally:
-        del os.environ["MGT_DP_RESID_FUSED"]
-    np.testing.assert_array_equal(gated, ref)
-    np.testing.assert_array_equal(gated2, ref)
