@@ -224,11 +224,22 @@ class _PallasDGBase:
         Lb = np.array(st.L)
         n2 = self.n2
         for d in range(3):
+            # ONE beta per direction, shared by both sides: the wire routes
+            # side-s traces into the OPPOSITE side's lift (and the mirror
+            # into the same side), so per-side betas must cancel across
+            # sides.  A per-(d, s) beta broke exactly when the gn/value
+            # ratio sat on a power-of-two boundary (diagonal J = h*I) and
+            # f64 rounding pushed the two sides' ceils apart — measured
+            # 9e-3 operator error at h = 0.25, invisible on sheared grids.
+            ratios = []
             for s in (0, 1):
                 r0 = st.face_rows(d, s).start
                 umax = max(np.abs(Tb[r0: r0 + n2]).max(), 1e-300)
                 gmax = max(np.abs(Tb[r0 + n2: r0 + 2 * n2]).max(), 1e-300)
-                beta = 2.0 ** np.ceil(np.log2(gmax / umax))
+                ratios.append(gmax / umax)
+            beta = 2.0 ** np.ceil(np.log2(max(ratios)))
+            for s in (0, 1):
+                r0 = st.face_rows(d, s).start
                 Tb[r0 + n2: r0 + 2 * n2] /= beta
                 Lb[:, r0 + n2: r0 + 2 * n2] *= beta
         self.mA = _MatStack(st.A0.T, nl, bits, mm)

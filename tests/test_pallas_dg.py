@@ -34,6 +34,28 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("h", [0.25, 1.0, (0.25, 0.3, 0.21)])
+def test_diagonal_pow2_jacobian(h):
+    """Regression: an axis-aligned J = diag(h) with power-of-two entries
+    puts the gn/value trace-magnitude ratio ON a power-of-two boundary;
+    per-(d, s) channel balancing then picked DIFFERENT betas for the two
+    sides of a direction and the cross-side wire routing broke at 9e-3
+    (caught by solver parity, 2026-08-20).  Betas are per-direction now."""
+    hs = (h, h, h) if not isinstance(h, tuple) else h
+    g = DGGrid(cells=(4, 4, 4), jacobian=tuple(
+        tuple(hs[i] if i == j else 0.0 for j in range(3)) for i in range(3)),
+        degree=3, kind="hermite")
+    op = DGLaplace(g, jnp.float64)
+    u = np.random.default_rng(0).standard_normal(g.shape)
+    y0 = np.asarray(op.vmult(jnp.asarray(u)))
+    den = np.abs(y0).max()
+    ysp = np.asarray(PallasDGSP(g, interpret=True).vmult(
+        jnp.asarray(u, jnp.float32)))
+    ydp = np.asarray(PallasDGOzaki(g, interpret=True).vmult(jnp.asarray(u)))
+    assert np.abs(ysp - y0).max() / den < 3e-6
+    assert np.abs(ydp - y0).max() / den < 5e-11
+
+
 @pytest.mark.parametrize("kind", ["hermite", "gll", "gauss"])
 @pytest.mark.parametrize("cells,p", CASES)
 def test_stencil_matches_sweep_operator(kind, cells, p):
