@@ -4,6 +4,19 @@ Port of /root/reference/poisson_dg/program.cc: FE_DGQHermite-style elements,
 outer CG at a user tolerance (default 1e-3) preconditioned by the dg_v_cycle
 (/root/reference/common/multigrid_solver_dg.h), convergence table with
 fractional iteration counts.
+
+cg_L2error semantics (REFERENCE PARITY, understood r5): the reference
+builds the DG rhs by PURE mass integration of f with no weak Dirichlet
+data (multigrid_solver_dg.h:243-265) on the cube [-0.9, 1]
+(poisson_dg/program.cc:390) where the analytic solution prod sin(3 pi x_d)
+is NONZERO on part of the boundary — so the continuum solution of the
+solved system carries homogeneous weak BCs and cg_L2error converges to a
+FIXED ~1.007e-1 boundary-mismatch plateau under refinement (measured
+identically on CPU f64 and TPU at rtol 1e-9, docs/tpu_r5/
+poisson_dg_tight.log).  The benchmark's acceptance metrics are the
+iteration counts/rates, exactly as in the reference; genuinely
+convergent DG L2 errors are pinned by tests/test_dg_multigrid.py on a
+solution-compatible domain.
 """
 
 from __future__ import annotations

@@ -94,3 +94,24 @@ def test_poisson_dg_solver_3d_anchored():
         for e, ea in zip(errs, err_anchor):
             assert e == pytest.approx(ea, rel=1e-4), (cls.__name__, errs)
         assert np.log2(errs[0] / errs[1]) > 3.4
+
+
+def test_poisson_dg_driver_boundary_plateau_parity():
+    """Reference-parity artifact pinned (understood r5, was misread as
+    'algebraic-error-dominated' in r4): the poisson_dg driver's rhs is
+    pure mass integration of f with NO weak Dirichlet data
+    (/root/reference/common/multigrid_solver_dg.h:243-265) on the cube
+    [-0.9, 1] where prod sin(3 pi x) is nonzero on part of the boundary,
+    so cg_L2error converges to a fixed ~1.007e-1 boundary-mismatch
+    plateau — by construction, identical on every backend.  A change in
+    this number means the rhs/BC conventions drifted from the reference."""
+    from multigrid_tpu.mesh.brick import poisson_cube_mesh
+    from experiments.poisson_cube import exact_fn as cube_exact
+    from experiments.poisson_cube import rhs_fn as cube_rhs
+
+    mesh = poisson_cube_mesh(4, 3)
+    s = MultigridSolverDG(mesh, 4, cube_exact, cube_rhs, n_pre=3, n_post=3)
+    x, its, rate = s.solve_cg(tolerance=1e-9)
+    err = s.l2_error(x, s.exact_quad)
+    assert abs(err - 0.10024) < 5e-4, err
+    assert 4.5 < its < 6.5, its
