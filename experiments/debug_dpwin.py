@@ -70,6 +70,14 @@ def check(cells):
 
 
 def main():
+    import jax
+
+    # x64 ON so the pair's lo plane carries real data: without it the
+    # f64 inputs silently truncate to f32 and the two_sum lo-limb paths
+    # run on zeros (every r3/r4 gate log shows the truncation warning —
+    # found r5; the kernel-vs-oracle bit-exactness those runs proved was
+    # hi-plane-only)
+    jax.config.update("jax_enable_x64", True)
     args = [int(a) for a in sys.argv[1:]]
     if args:
         shapes = [tuple(args[i:i + 3]) for i in range(0, len(args), 3)]

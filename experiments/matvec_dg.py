@@ -64,6 +64,15 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64",
             tuple(base), lambda p: (p * scale[None, :]) @ trafo.T,
             degree, kind)
         op = DGLaplaceCurved(cgrid, dtype)
+    elif impl == "df64":
+        # pair-arithmetic dp operator (ops/dg_df64): the dp tier ABOVE the
+        # p <= 4 Ozaki exact-accumulation bound (VERDICT r5 #8); verified
+        # against the face-based f64 oracle like every other impl
+        from multigrid_tpu.ops.dg_df64 import DGLaplaceDF64
+
+        op = DGLaplaceDF64(grid)
+        dtype_name = "float64"
+        dtype = jnp.float64
     elif impl == "pallas":
         # fused Mosaic kernel (ops/pallas_dg): sp via --dtype float32, dp
         # (pair Ozaki, p <= 4) via float64.  The TIMED apply runs on the
@@ -123,12 +132,12 @@ def run(degree: int, kind: str, n_cell_steps: int, dtype_name: str = "float64",
     gbs = 1e-9 * grid.n_dofs * nbytes * 3 / best
     gflops = 1e-9 * ops / best
     label = (kind if impl == "fused"
-             else f"{kind}:{dict(ozaki='ozk', curved='crv', pallas='plk')[impl]}")
+             else f"{kind}:{dict(ozaki='ozk', curved='crv', pallas='plk', df64='d64')[impl]}")
     print(f"{label:8s} p={degree} n_dof={grid.n_dofs:>10d}  {best:.5f} s  "
           f"DoFs/s {dofs_per_s:.4g}  GFlop/s {gflops:.4g}  GB/s {gbs:.4g}  "
           f"ops/dof {ops / grid.n_dofs:.1f}  verify {verify:.2e}")
     tol = (1e-6 if dtype_name == "float32"
-           else (1e-10 if impl in ("ozaki", "pallas") else 1e-11))
+           else (1e-10 if impl in ("ozaki", "pallas", "df64") else 1e-11))
     assert verify < tol, verify
     return dofs_per_s
 
@@ -141,7 +150,7 @@ def main():
                     help="refinement steps (cells = 2^(steps/3))")
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--impl", default="fused",
-                    choices=["fused", "ozaki", "curved", "pallas", "both"])
+                    choices=["fused", "ozaki", "curved", "pallas", "df64", "both"])
     args = ap.parse_args()
     for degree in range(args.min_degree, args.max_degree + 1):
         for kind in ("hermite", "gll", "gauss"):
@@ -153,6 +162,8 @@ def main():
                 run(degree, kind, args.steps, args.dtype, impl="curved")
             if args.impl == "pallas":
                 run(degree, kind, args.steps, args.dtype, impl="pallas")
+            if args.impl == "df64":
+                run(degree, kind, args.steps, args.dtype, impl="df64")
 
 
 if __name__ == "__main__":

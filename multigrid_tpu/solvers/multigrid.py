@@ -291,6 +291,7 @@ class MultigridSolver:
                            constrained=False)
             for l in range(1, L)
         ]
+        _tick("transfers")
 
         # boundary data + rhs per level (multigrid_solver.h:224-262);
         # masks kept as per-axis factors (LazyMaskList) so jitted solves
@@ -301,6 +302,7 @@ class MultigridSolver:
         self.bmask = LazyMaskList(
             [interior_axes_jnp(g) for g in self.grids], invert=True
         )
+        _tick("masks")
         # u_bc lives as 2*dim FACE slabs per level, never as a dense node
         # grid: the dense array is zero off the boundary, and shipping it
         # over the device link costs ~70 s/GB at the flagship (measured —
