@@ -400,6 +400,15 @@ class PallasDGSP(_PallasDGBase):
         xk = jax.lax.optimization_barrier(xk)
         return jax.lax.optimization_barrier(self._call(xk))
 
+    def repad_top(self, y: jnp.ndarray) -> jnp.ndarray:
+        """[cz, N, Fp] kernel output -> persistent [cz+1, N, Fp] (restore
+        the zero halo layer; smoother vectors carry it end to end)."""
+        return jnp.pad(y, ((0, 1), (0, 0), (0, 0)))
+
+    def vmult_persistent(self, xk: jnp.ndarray) -> jnp.ndarray:
+        """[cz+1, N, Fp] in AND out: the smoother-loop form."""
+        return self.repad_top(self.vmult_kernel(xk))
+
     def vmult(self, u: jnp.ndarray) -> jnp.ndarray:
         """natural f32 block layout in/out (conversions included)."""
         return self.from_kernel(self.vmult_kernel(self.to_kernel(u)))

@@ -172,6 +172,39 @@ class MultigridSolverDG(_DGOuterCG):
             precond=self.jacobi.vmult,
             example=jnp.zeros(self.dg_grid.shape, v_dtype),
         )
+        self._kdg = None
+        if self._sp_op is not self.op:
+            # Kernel-layout smoother twin: the whole dg_v_cycle runs on
+            # persistent [cz+1, N, F] vectors — JacobiTransformed becomes
+            # two dense [N, N] MXU matmuls, and the per-iteration
+            # natural<->kernel conversions disappear (2 per cycle remain,
+            # at the CG-coupling boundary).  The Chebyshev interval is
+            # CLONED from the natural-layout estimate (the layout is a
+            # dof permutation: identical spectrum — the FusedChebyshev
+            # pattern, ops/pallas_windowed_sp.py).
+            import dataclasses
+
+            import numpy as _np
+
+            spk = self._sp_op
+            b = self.dg_grid.basis
+            T3 = _np.kron(_np.kron(b.T, b.T), b.T)
+            T3f = jnp.asarray(T3, v_dtype)
+            T3tf = jnp.asarray(T3.T, v_dtype)
+            # to_kernel zero-pads the halo layer + pad lanes: the Jacobi
+            # multiply then PRESERVES the kernel vectors' zero invariant
+            inv_diag_k = spk.to_kernel(self.jacobi.inv_diag)
+
+            def jac_k(u, _T3=T3f, _T3t=T3tf, _d=inv_diag_k):
+                hp = jax.lax.Precision.HIGHEST
+                y = jnp.einsum("mn,znf->zmf", _T3t, u, precision=hp)
+                y = y * _d
+                return jnp.einsum("mn,znf->zmf", _T3, y, precision=hp)
+
+            self._kdg = spk
+            self.smooth_dg_k = dataclasses.replace(
+                self.smooth_dg, vmult_op=spk.vmult_persistent,
+                precond=jac_k)
         # rhs: DG mass integration of f only (multigrid_solver_dg.h:243-265;
         # NOTE the reference applies no weak boundary lift here)
         quads = _quad_coords_block(self.dg_grid, mesh, L)
@@ -191,6 +224,21 @@ class MultigridSolverDG(_DGOuterCG):
     def dg_v_cycle(self, defect: jnp.ndarray) -> jnp.ndarray:
         """multigrid_solver_dg.h:605-633."""
         defect = self._constrain_dg(defect)
+        if self._kdg is not None:
+            # kernel-layout cycle: DG vectors stay in the persistent
+            # [cz+1, N, F] layout through both smoothers and the residual;
+            # natural layout appears only at the CG-coupling boundary
+            k = self._kdg
+            dk = k.to_kernel(defect)
+            upd = self.smooth_dg_k.vmult(dk)
+            rk = dk - k.vmult_persistent(upd)
+            r_cg = self.cg._constrain(
+                self.cg.maxlevel,
+                self.coupling.dg_to_cg(k.from_kernel(rk[:-1])))
+            corr = self.cg.v_cycle(self.cg.maxlevel, r_cg, 1)
+            upd = upd + k.to_kernel(self.coupling.cg_to_dg(corr))
+            upd = self.smooth_dg_k.step(upd, dk)
+            return k.from_kernel(upd[:-1])
         upd = self.smooth_dg.vmult(defect)
         r = self._sp_op.vmult_residual(defect, upd)
         r_cg = self.cg._constrain(self.cg.maxlevel, self.coupling.dg_to_cg(r))

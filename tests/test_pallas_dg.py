@@ -144,3 +144,34 @@ def test_vmult_residual():
     r1 = np.asarray(k.vmult_residual(jnp.asarray(b, jnp.float32),
                                      jnp.asarray(x, jnp.float32)))
     assert np.abs(r1 - r0).max() / max(np.abs(r0).max(), 1e-30) < 1e-5
+
+
+def test_solver_kernel_layout_parity():
+    """MultigridSolverDG with the Pallas operators + kernel-layout
+    smoother (dg_sp_impl='pallas', dp_impl='pallas') reproduces the XLA
+    path: same CG rate class, L2 to f32-smoother accuracy."""
+    from multigrid_tpu.mesh.brick import cube
+    from multigrid_tpu.solvers.multigrid_dg import MultigridSolverDG
+
+    K = 3
+
+    def exact_fn(coords):
+        out = 1.0
+        for c in coords:
+            out = out * np.sin(np.pi * K * c)
+        return out
+
+    def rhs_fn(coords):
+        return len(coords) * (np.pi * K) ** 2 * exact_fn(coords)
+
+    mesh = cube(2, 0.0, 1.0, 1, dim=3)
+    a = MultigridSolverDG(mesh, 3, exact_fn, rhs_fn, n_pre=3, n_post=3)
+    b = MultigridSolverDG(mesh, 3, exact_fn, rhs_fn, n_pre=3, n_post=3,
+                          dg_sp_impl="pallas", dp_impl="pallas")
+    assert b._kdg is not None
+    xa, _, ra = a.solve_cg()
+    xb, _, rb = b.solve_cg()
+    assert abs(ra - rb) < 0.02
+    ea = a.l2_error(xa, a.exact_quad)
+    eb = b.l2_error(xb, b.exact_quad)
+    assert abs(ea - eb) / ea < 1e-3
