@@ -334,10 +334,14 @@ class PallasDGSP(_PallasDGBase):
     pair = False
 
     # -------------------------------------------------------------- kernel
-    def _kernel(self, x_hbm, a_ref, t_ref, z_ref, l0_ref, l1_ref, l2_ref,
-                out_ref, slab, tcar, sem):
+    def _matvec_layer(self, x_hbm, a_ref, t_ref, z_ref, l_refs, slab, tcar,
+                      sem):
+        """Shared matvec pipeline for one z layer: DMA -> limb split ->
+        A0/T/Tzb matmuls -> wire -> L matmuls; returns y [N, Fp] (the
+        epilogue variants share this body — a divergence here would be a
+        hardware-only bug interpret tests can't catch)."""
         zi = pl.program_id(0)
-        N, TR, CH, Fp = self.N, self.TR, self.CH, self.Fp
+        CH = self.CH
 
         cp = pltpu.make_async_copy(x_hbm.at[pl.ds(zi, 2)], slab, sem)
         cp.start()
@@ -353,13 +357,43 @@ class PallasDGSP(_PallasDGBase):
         (wire,) = self._wire((t,), (tz,), (tcar,), zi)
         tcar[...] = t[CH: 2 * CH]                     # own (d=0, s=1) block
 
-        for d, lref in enumerate((l0_ref, l1_ref, l2_ref)):
+        for d, lref in enumerate(l_refs):
             chunk = wire[2 * d * CH: 2 * (d + 1) * CH]
             sig_w, big_w = _split_limbs_sp(chunk, self.n_limbs,
                                            self.limb_bits)
             y = y + _acc_sp(self.mL[d].terms(lref, big_w, sig_w))
+        return y
 
-        out_ref[0] = y
+    def _kernel(self, x_hbm, a_ref, t_ref, z_ref, l0_ref, l1_ref, l2_ref,
+                out_ref, slab, tcar, sem):
+        out_ref[0] = self._matvec_layer(x_hbm, a_ref, t_ref, z_ref,
+                                        (l0_ref, l1_ref, l2_ref), slab,
+                                        tcar, sem)
+
+    def _kernel_cheb(self, x_hbm, b_ref, xold_ref, f12_ref, idg_ref, a_ref,
+                     t_ref, z_ref, l0_ref, l1_ref, l2_ref, t3_ref, t3t_ref,
+                     out_ref, slab, tcar, sem):
+        """Fused Chebyshev-update epilogue (the reference's action 3,
+        /root/reference/common/laplace_operator_dg.h:1839-1860, with the
+        JacobiTransformed preconditioner folded in,
+        laplace_operator_dg.h:2084-2095):
+
+            x_new = x + f1 (x - x_old) + f2 T3 diag^-1 T3^T (b - A x)
+
+        emitted by the same kernel pass that computes A x — the separate
+        Jacobi matmuls and residual/update streams over HBM disappear."""
+        y = self._matvec_layer(x_hbm, a_ref, t_ref, z_ref,
+                               (l0_ref, l1_ref, l2_ref), slab, tcar, sem)
+        r = b_ref[0] - y
+        sig_r, big_r = _split_limbs_sp(r, self.n_limbs, self.limb_bits)
+        w = _acc_sp(self.mT3t.terms(t3t_ref, big_r, sig_r))
+        w = w * idg_ref[0]
+        sig_w, big_w = _split_limbs_sp(w, self.n_limbs, self.limb_bits)
+        pc = _acc_sp(self.mT3.terms(t3_ref, big_w, sig_w))
+        x = slab[0]
+        f1 = f12_ref[0, 0]
+        f2 = f12_ref[0, 1]
+        out_ref[0] = x + f1 * (x - xold_ref[0]) + f2 * pc
 
     def _call(self, xk: jnp.ndarray) -> jnp.ndarray:
         N, TR, CH, Fp, cz = self.N, self.TR, self.CH, self.Fp, self.cz
@@ -393,6 +427,68 @@ class PallasDGSP(_PallasDGBase):
             interpret=self.interpret,
         )(xk, self.mA.stack, self.mT.stack, self.mTzb.stack,
           *(m.stack for m in self.mL))
+
+    # --------------------------------------------- fused Chebyshev update
+    def install_jacobi(self, T3: np.ndarray, inv_diag_k: jnp.ndarray):
+        """Bake the JacobiTransformed data for the fused epilogue: the
+        [N, N] eigenbasis tensor T3 (limb stacks for both orientations)
+        and the kernel-layout inverse transformed diagonal
+        [cz(+1), N, Fp] (halo layer ignored)."""
+        nl, bits, mm = self.n_limbs, self.limb_bits, self.max_m
+        T3 = np.asarray(T3, np.float64)
+        self.mT3 = _MatStack(T3.T, nl, bits, mm)
+        self.mT3t = _MatStack(T3, nl, bits, mm)
+        self._idg_k = inv_diag_k[: self.cz].astype(jnp.float32)
+
+    def cheb_fused(self, xk, xk_old, bk, f1, f2) -> jnp.ndarray:
+        """One fused Chebyshev iteration on persistent-layout vectors:
+        ``x + f1 (x - x_old) + f2 P^-1 (b - A x)`` in a single kernel pass
+        (f1/f2 are traced scalars via a tiny SMEM block, so the whole
+        recurrence reuses ONE compiled kernel)."""
+        assert hasattr(self, "mT3"), "install_jacobi first"
+        N, Fp, cz = self.N, self.Fp, self.cz
+        f12 = jnp.stack([jnp.asarray(f1, jnp.float32),
+                         jnp.asarray(f2, jnp.float32)]).reshape(1, 2)
+        xk, xk_old, bk = jax.lax.optimization_barrier((xk, xk_old, bk))
+        blk = pl.BlockSpec((1, N, Fp), lambda zi: (zi, _I0, _I0),
+                           memory_space=pltpu.VMEM)
+        mats = (self.mA, self.mT, self.mTzb, *self.mL, self.mT3, self.mT3t)
+        const_spec = [
+            pl.BlockSpec(m.stack.shape, lambda zi: (_I0, _I0),
+                         memory_space=pltpu.VMEM)
+            for m in mats
+        ]
+        mac = sum(m.stack.shape[0] for m in mats) * N
+        o = pl.pallas_call(
+            self._kernel_cheb,
+            grid=(cz,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                blk,                                   # b
+                blk,                                   # x_old
+                pl.BlockSpec((1, 2), lambda zi: (_I0, _I0),
+                             memory_space=pltpu.SMEM),
+                blk,                                   # inv transformed diag
+                *const_spec,
+            ],
+            out_specs=pl.BlockSpec((1, N, Fp), lambda zi: (zi, _I0, _I0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((cz, N, Fp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, N, Fp), jnp.float32),
+                pltpu.VMEM((self.CH, Fp), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mac * Fp * cz,
+                bytes_accessed=6 * xk.size * 4,
+                transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=self.interpret,
+        )(xk, bk, xk_old, f12, self._idg_k,
+          *(m.stack for m in mats))
+        return self.repad_top(jax.lax.optimization_barrier(o))
 
     # ----------------------------------------------------------- interface
     def vmult_kernel(self, xk: jnp.ndarray) -> jnp.ndarray:
@@ -523,3 +619,52 @@ class PallasDGOzaki(_PallasDGBase):
 
     def vmult_residual(self, rhs, lhs):
         return rhs - self.vmult(lhs)
+
+
+class FusedChebyshevDG:
+    """First-kind Chebyshev smoother with every iteration's residual,
+    JacobiTransformed preconditioner and vector update fused into the DG
+    sp kernel (PallasDGSP.cheb_fused) — the TPU analogue of the
+    reference's action-3 merged DG matvec
+    (/root/reference/common/laplace_operator_dg.h:910-955, 1839-1860).
+    Drop-in for solvers.chebyshev.Chebyshev on persistent-layout vectors;
+    the interval (theta, delta, degree) is cloned from the natural-layout
+    smoother's Lanczos estimate (identical spectrum: the layout is a dof
+    permutation)."""
+
+    def __init__(self, op: PallasDGSP, precond, theta: float, delta: float,
+                 degree: int):
+        assert hasattr(op, "mT3"), "install_jacobi first"
+        self.op = op
+        self.vmult_op = op.vmult_persistent
+        self.precond = precond            # kernel-layout P^-1 (first apply)
+        self.theta = theta
+        self.delta = delta
+        self.degree = degree
+        self.kind = "first_kind"
+
+    def _loop(self, x, x_old, b):
+        th, de = self.theta, self.delta
+        if self.degree <= 1:
+            return x
+
+        def body(_, s):
+            x, x_old, rho = s
+            rho_new = 1.0 / (2.0 * th / de - rho)
+            f1 = rho_new * rho
+            f2 = 2.0 * rho_new / de
+            return (self.op.cheb_fused(x, x_old, b, f1, f2), x, rho_new)
+
+        rho0 = jnp.asarray(de / th, x.dtype)
+        x, _, _ = jax.lax.fori_loop(0, self.degree - 1, body,
+                                    (x, x_old, rho0))
+        return x
+
+    def vmult(self, b: jnp.ndarray) -> jnp.ndarray:
+        x = self.precond(b) * (1.0 / self.theta)
+        return self._loop(x, jnp.zeros_like(b), b)
+
+    def step(self, x0: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        # x0 + P^-1 (b - A x0) / theta == one fused pass with f1 = 0
+        x = self.op.cheb_fused(x0, x0, b, 0.0, 1.0 / self.theta)
+        return self._loop(x, x0, b)

@@ -202,9 +202,22 @@ class MultigridSolverDG(_DGOuterCG):
                 return jnp.einsum("mn,znf->zmf", _T3, y, precision=hp)
 
             self._kdg = spk
-            self.smooth_dg_k = dataclasses.replace(
-                self.smooth_dg, vmult_op=spk.vmult_persistent,
-                precond=jac_k)
+            _fused = os.environ.get("MGT_DG_CHEB_FUSED", "1") not in ("",
+                                                                      "0")
+            if _fused:
+                # action-3 analogue: residual + Jacobi + update fused into
+                # the matvec kernel pass (ops/pallas_dg.FusedChebyshevDG)
+                from ..ops.pallas_dg import FusedChebyshevDG
+
+                spk.install_jacobi(T3, inv_diag_k)
+                self.smooth_dg_k = FusedChebyshevDG(
+                    spk, jac_k, theta=self.smooth_dg.theta,
+                    delta=self.smooth_dg.delta,
+                    degree=self.smooth_dg.degree)
+            else:
+                self.smooth_dg_k = dataclasses.replace(
+                    self.smooth_dg, vmult_op=spk.vmult_persistent,
+                    precond=jac_k)
         # rhs: DG mass integration of f only (multigrid_solver_dg.h:243-265;
         # NOTE the reference applies no weak boundary lift here)
         quads = _quad_coords_block(self.dg_grid, mesh, L)
