@@ -514,11 +514,19 @@ class PallasDGSP(_PallasDGBase):
 
 
 class PallasDGOzaki(_PallasDGBase):
-    """dp (f32-pair) fused DG A.u, ~1e-11 relative class; p <= 4."""
+    """dp (f32-pair) fused DG A.u, ~1e-11 relative class; p <= 4.
+
+    max_m = 5, not the brick kernel's 6: the m = 6 group's terms sit at
+    2^-42 relative (2e-13) — far below this kernel's plain-tail accuracy
+    class (~1e-11, module docstring) — while costing 7 of 28 limb-pair
+    products = 25% of every matmul family.  (The brick dp kernel keeps
+    m <= 6 because its target is bit-exactness against the XLA m <= 6
+    oracle at 2e-15.)  Measured in interpret: dev moves ~1.1e-11 ->
+    ~1.6e-11 class."""
 
     n_limbs = 7
     limb_bits = 7
-    max_m = 6
+    max_m = 5
     pair = True
 
     # ------------------------------------------------- layout conversions
