@@ -52,12 +52,31 @@ def _kron3(az, ay, ax) -> np.ndarray:
 
 @dataclass(frozen=True)
 class DGStencil:
-    """The stencil matrices of one affine DG level (all numpy f64)."""
+    """The stencil matrices of one affine DG level (all numpy f64).
+
+    Two equivalent factorizations are exported:
+
+    * ``A0 / T / L`` — the plain own-block + incoming-lift split
+      (y = A0 u + sum L wire).  Exact in f64; used by the XLA reference.
+    * ``A0v / T / LJ / LG`` — the JUMP form: A0v is the VOLUME term only
+      and the face contribution is ``LJ (u_m - u_p) + LG (gn_m + gn_p)``
+      per face.  Algebraically identical, but the finite-precision kernel
+      MUST use this one: for smooth fields the SIP penalty cancels
+      ~1e5x between u_m and u_p, and computing sigma*u_m (inside A0) and
+      -sigma*u_p (inside L) as separate limb matmuls rounds each at its
+      own LARGE magnitude — measured 1e-1 relative matvec error on a
+      Jacobi-preconditioned iterate vs 4e-5 for the XLA sweep form,
+      which subtracts the jump first (exact for nearby floats).  LG's
+      per-side gn sign is folded in (Gs channels carry g_own + g_in
+      unsigned)."""
 
     grid: DGGrid
-    A0: np.ndarray          # [N, N]
+    A0: np.ndarray          # [N, N]   volume + own-side face terms
     T: np.ndarray           # [TR, N]  outgoing traces, all faces
     L: np.ndarray           # [N, TR]  incoming lifts, all faces
+    A0v: np.ndarray         # [N, N]   volume term only
+    LJ: np.ndarray          # [N, TR]  jump lifts (channel layout of T)
+    LG: np.ndarray          # [N, TR]  gn-sum lifts (sign folded)
     CH: int                 # rows per face block (pad8(2 n^2))
     n2: int                 # n^2 (valid rows per channel half)
 
@@ -132,8 +151,11 @@ def build_stencil(grid: DGGrid) -> DGStencil:
             vol += Gsym[e, f_] * (D3[e].T @ (w3[:, None] * D3[f_]))
     A0 = S3.T @ vol @ S3
 
+    A0v = np.array(A0)                              # volume term only
     T = np.zeros((6 * CH, N))
     L = np.zeros((N, 6 * CH))
+    LJ = np.zeros((N, 6 * CH))
+    LG = np.zeros((N, 6 * CH))
     for d in range(3):
         fd = face[d]
         wf = fd["jxw"] * wperp[d]                   # [n2]
@@ -164,8 +186,16 @@ def build_stencil(grid: DGGrid) -> DGStencil:
                 L_u += sign * fd["gvec"][e] * (D3[e].T @ (Lift_w * 0.5))
             L[:, r0: r0 + n2] = S3.T @ L_u
             L[:, r0 + n2: r0 + 2 * n2] = S3.T @ L_g
+            # jump form: contribution = LJ (u_m - u_p) + LG (g_own + g_w)
+            #   t_val = sigma J - 0.5 sign (g_own + g_w); t_gr = -0.5 J
+            LJ_blk = fd["sigma"] * Lift_w
+            for e in range(3):
+                LJ_blk += sign * fd["gvec"][e] * (D3[e].T @ (Lift_w * -0.5))
+            LJ[:, r0: r0 + n2] = S3.T @ LJ_blk
+            LG[:, r0 + n2: r0 + 2 * n2] = S3.T @ ((-0.5 * sign) * Lift_w)
 
-    return DGStencil(grid=grid, A0=A0, T=T, L=L, CH=CH, n2=n2)
+    return DGStencil(grid=grid, A0=A0, T=T, L=L, A0v=A0v, LJ=LJ, LG=LG,
+                     CH=CH, n2=n2)
 
 
 class DGLaplaceStencil:

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .df64 import df64_add, join_f64, split_f64, two_sum
 from .dg import DGGrid
-from .dg_stencil import build_stencil
+from .dg_stencil import _pad8, build_stencil
 from .laplace_dense import _split_limbs_f64
 
 _I0 = np.int32(0)
@@ -204,53 +204,61 @@ class _PallasDGBase:
         else:
             self.Fp = -(-F // 128) * 128
         nl, bits, mm = self.n_limbs, self.limb_bits, self.max_m
+        # WIRE LAYOUT: per direction d, four SEPARATELY 8-ALIGNED
+        # quantity blocks of Q = pad8(n^2) rows each, ordered
+        # [u(side0), u(side1), g(side0), g(side1)] — value and gn traces
+        # are limb-split with their OWN per-column sigma.  One shared
+        # sigma across channels starves whichever channel is physically
+        # smaller: a static power-of-two rebalance (r5 v1) fixed the
+        # random-input case but broke on SMOOTH inputs, where the actual
+        # gn/value ratio is ~1 instead of the matrix-norm ~2^5 — measured
+        # 1e-1 matvec error on a Jacobi-preconditioned iterate vs 4e-5
+        # for XLA f32.  Per-quantity sigmas adapt to the data, need no
+        # balancing constants, and the Dirichlet mirror becomes a
+        # whole-block sign (u blocks negate, g blocks keep).
+        n2 = self.n2
+        Q = _pad8(n2)
+        self.Q = Q
+        self.DQ = 4 * Q
+        self.TR = 12 * Q
+        # JUMP-FORM factorization (ops/dg_stencil docstring): the kernel
+        # computes J = u_m - u_p and Gs = g_own + g_in in trace space
+        # (exact VPU subtraction of nearby values) and lifts them with
+        # LJ / LG; A0 is the VOLUME term only.  The plain A0+L split
+        # rounds the hugely-canceling sigma*u_m / sigma*u_p terms at
+        # their own magnitudes — 1e-1 matvec error on smooth iterates.
+        Tq = np.zeros((self.TR, self.N))
+        Lq = np.zeros((self.N, self.TR))    # u slots from LJ, g from LG
+        for d in range(3):
+            for s_ in (0, 1):
+                r_old = st.face_rows(d, s_).start
+                for qi, q0, M in ((0, 0, st.LJ), (1, n2, st.LG)):
+                    r_new = d * self.DQ + 2 * Q * qi + s_ * Q
+                    Tq[r_new: r_new + n2] = st.T[r_old + q0: r_old + q0 + n2]
+                    Lq[:, r_new: r_new + n2] = M[
+                        :, r_old + q0: r_old + q0 + n2]
         if self.pair:
             # dp exact-accumulation bound (ops/laplace_dense.py:213): the
             # largest group contracts (max_m+1)*K bf16 limb products
-            for K in (self.N, 2 * self.CH):
+            for K in (self.N, 2 * Q):
                 if (mm + 1) * K >= 2 ** (24 - 2 * bits):
                     raise ValueError(
                         f"Ozaki exact-accumulation bound violated: "
                         f"({mm + 1})*{K} >= 2^{24 - 2 * bits} "
                         "(3-D dp DG kernel is p <= 4; use the df64 path)")
-        # CHANNEL BALANCING: gn-trace magnitudes run up to ~2^5 above the
-        # value traces for the gll/gauss kinds (measured: 35x at p=3),
-        # so a per-column wire sigma would quantize the value channels
-        # ~2^5 coarser than their own scale.  Scale each face block's gn
-        # rows of T down by a power of two (and L's matching columns up)
-        # so all wire rows share one magnitude class — exact at setup,
-        # invisible to the mirror sign masks (value/gn split unchanged).
-        Tb = np.array(st.T)
-        Lb = np.array(st.L)
-        n2 = self.n2
-        for d in range(3):
-            # ONE beta per direction, shared by both sides: the wire routes
-            # side-s traces into the OPPOSITE side's lift (and the mirror
-            # into the same side), so per-side betas must cancel across
-            # sides.  A per-(d, s) beta broke exactly when the gn/value
-            # ratio sat on a power-of-two boundary (diagonal J = h*I) and
-            # f64 rounding pushed the two sides' ceils apart — measured
-            # 9e-3 operator error at h = 0.25, invisible on sheared grids.
-            ratios = []
-            for s in (0, 1):
-                r0 = st.face_rows(d, s).start
-                umax = max(np.abs(Tb[r0: r0 + n2]).max(), 1e-300)
-                gmax = max(np.abs(Tb[r0 + n2: r0 + 2 * n2]).max(), 1e-300)
-                ratios.append(gmax / umax)
-            beta = 2.0 ** np.ceil(np.log2(max(ratios)))
-            for s in (0, 1):
-                r0 = st.face_rows(d, s).start
-                Tb[r0 + n2: r0 + 2 * n2] /= beta
-                Lb[:, r0 + n2: r0 + 2 * n2] *= beta
-        self.mA = _MatStack(st.A0.T, nl, bits, mm)
-        self.mT = _MatStack(Tb.T, nl, bits, mm)
-        # next-layer z-bottom traces: face block (d=0, s=0) only
-        self.mTzb = _MatStack(Tb[st.face_rows(0, 0)].T, nl, bits, mm)
-        # per-direction incoming lifts (contraction over 2*CH wire rows)
-        self.mL = [
-            _MatStack(Lb[:, 2 * d * self.CH: 2 * (d + 1) * self.CH].T,
-                      nl, bits, mm)
-            for d in range(3)
+        self.mA = _MatStack(st.A0v.T, nl, bits, mm)
+        self.mT = _MatStack(Tq.T, nl, bits, mm)
+        # next-layer z-bottom traces: (d=0, side 0) u and g blocks
+        self.mTzb = _MatStack(
+            np.vstack([Tq[0: Q], Tq[2 * Q: 3 * Q]]).T, nl, bits, mm)
+        # per-(direction, quantity) lifts: J channels ride LJ, Gs ride LG
+        self.mLu = [
+            _MatStack(Lq[:, d * self.DQ: d * self.DQ + 2 * Q].T,
+                      nl, bits, mm) for d in range(3)
+        ]
+        self.mLg = [
+            _MatStack(Lq[:, d * self.DQ + 2 * Q: (d + 1) * self.DQ].T,
+                      nl, bits, mm) for d in range(3)
         ]
 
     # ------------------------------------------------- layout conversions
@@ -272,57 +280,65 @@ class _PallasDGBase:
     def _wire(self, t_parts, tz_parts, tcar_read, zi):
         """Assemble the incoming wire block [TR, Fp] (per plane) from the
         outgoing traces: x/y lane rolls, z carry + next-layer traces,
-        Dirichlet mirror sign masks.  ``t_parts``/``tz_parts``/
-        ``tcar_read`` are tuples of planes (1 for sp, 2 for pair)."""
-        CH, n2, Fp, F = self.CH, self.n2, self.Fp, self.F
+        whole-block Dirichlet mirror signs (u blocks negate, g blocks
+        keep).  ``t_parts``/``tz_parts``/``tcar_read`` are tuples of
+        planes (1 for sp, 2 for pair); tz = [u0_next; g0_next] [2Q, Fp];
+        carry = [u1_prev; g1_prev] [2Q, Fp]."""
+        Q, DQ, Fp, F = self.Q, self.DQ, self.Fp, self.F
         cz, cy, cx = self.cz, self.cy, self.cx
         nplanes = len(t_parts)
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (CH, Fp), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (CH, Fp), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Q, Fp), 1)
         ix = lane % np.int32(cx)
         iy = lane // np.int32(cx)
-        # mirror: value rows negate, gn rows keep (u+ = -u-, gn+ = gn-)
-        msign = jnp.where(row < np.int32(n2), np.float32(-1.0),
-                          np.float32(1.0))
         padmask = (lane < np.int32(F)).astype(jnp.float32)
 
-        def blk(plane, d, s):
-            r0 = (2 * d + s) * CH
-            return plane[r0: r0 + CH]
+        def side_inputs(t, tcar, tz, d, qi, msign):
+            """(own0, own1, in0, in1) for one (direction, quantity)."""
+            r0 = d * self.DQ + 2 * Q * qi
+            own0 = t[r0: r0 + Q]
+            own1 = t[r0 + Q: r0 + 2 * Q]
+            if d == 0:
+                prev = tcar[qi * Q: (qi + 1) * Q]
+                nxt = tz[qi * Q: (qi + 1) * Q]
+                in0 = jnp.where(zi > 0, prev, msign * own0)
+                in1 = jnp.where(zi < np.int32(cz - 1), nxt, msign * own1)
+            else:
+                sh_lo = np.int32(cx if d == 1 else 1)
+                sh_hi = np.int32(Fp - cx if d == 1 else Fp - 1)
+                ids = iy if d == 1 else ix
+                c_dim = cy if d == 1 else cx
+                in0 = jnp.where(ids == 0, msign * own0,
+                                pltpu.roll(own1, sh_lo, 1))
+                in1 = jnp.where(ids == np.int32(c_dim - 1), msign * own1,
+                                pltpu.roll(own0, sh_hi, 1))
+            return own0, own1, in0, in1
 
-        out = []
-        for p_i in range(nplanes):
-            t = t_parts[p_i]
-            chunks = []
-            # ---- d = 0 (z): carry from below, Tzb from above
-            own0 = blk(t, 0, 0)
-            own1 = blk(t, 0, 1)
-            from_below = jnp.where(zi > 0, tcar_read[p_i][...],
-                                   msign * own0)
-            from_above = jnp.where(zi < np.int32(cz - 1), tz_parts[p_i],
-                                   msign * own1)
-            chunks.append(from_below * padmask)
-            chunks.append(from_above * padmask)
-            # ---- d = 1 (y): roll by +-cx lanes
-            for s in (0, 1):
-                own = blk(t, 1, s)
-                opp = blk(t, 1, 1 - s)
-                shift = np.int32(cx if s == 0 else Fp - cx)
-                nb = pltpu.roll(opp, shift, 1)
-                bnd = (iy == np.int32(0 if s == 0 else cy - 1))
-                chunks.append(jnp.where(bnd, msign * own, nb) * padmask)
-            # ---- d = 2 (x): roll by +-1 lane
-            for s in (0, 1):
-                own = blk(t, 2, s)
-                opp = blk(t, 2, 1 - s)
-                shift = np.int32(1 if s == 0 else Fp - 1)
-                nb = pltpu.roll(opp, shift, 1)
-                bnd = (ix == np.int32(0 if s == 0 else cx - 1))
-                chunks.append(jnp.where(bnd, msign * own, nb) * padmask)
-            # channel order d-major: z0, z1, y0, y1, x0, x1
-            out.append(jnp.concatenate(chunks, axis=0))
-        return out
+        # JUMP FORM: combine own and incoming IN TRACE SPACE (exact/
+        # compensated subtraction of nearby values — the whole point of
+        # this factorization): u blocks carry J = u_own - u_in, g blocks
+        # Gs = g_own + g_in.  The pair combine MUST be compensated
+        # (df64_add): a plain per-plane subtraction drops the hi
+        # rounding and caps the dp wire at 2^-24.
+        chunks = [[] for _ in range(nplanes)]
+        for d in range(3):
+            for qi, msign in ((0, np.float32(-1.0)), (1, np.float32(1.0))):
+                cmb = np.float32(-1.0) if qi == 0 else np.float32(1.0)
+                sides = [side_inputs(t_parts[p_i], tcar_read[p_i],
+                                     tz_parts[p_i], d, qi, msign)
+                         for p_i in range(nplanes)]
+                for k in (0, 1):                       # side 0 then side 1
+                    if nplanes == 2:
+                        ch_h, ch_l = df64_add(
+                            sides[0][k], sides[1][k],
+                            cmb * sides[0][2 + k], cmb * sides[1][2 + k])
+                        chunks[0].append(ch_h * padmask)
+                        chunks[1].append(ch_l * padmask)
+                    else:
+                        ch = sides[0][k] + cmb * sides[0][2 + k]
+                        chunks[0].append(ch * padmask)
+        # chunk order per direction: J0, J1, G0, G1
+        return [jnp.concatenate(c, axis=0) for c in chunks]
 
 
 class PallasDGSP(_PallasDGBase):
@@ -341,7 +357,7 @@ class PallasDGSP(_PallasDGBase):
         epilogue variants share this body — a divergence here would be a
         hardware-only bug interpret tests can't catch)."""
         zi = pl.program_id(0)
-        CH = self.CH
+        Q, DQ = self.Q, self.DQ
 
         cp = pltpu.make_async_copy(x_hbm.at[pl.ds(zi, 2)], slab, sem)
         cp.start()
@@ -355,24 +371,30 @@ class PallasDGSP(_PallasDGBase):
         tz = _acc_sp(self.mTzb.terms(z_ref, big_n, sig_n))
 
         (wire,) = self._wire((t,), (tz,), (tcar,), zi)
-        tcar[...] = t[CH: 2 * CH]                     # own (d=0, s=1) block
+        # carry = own (d=0, side 1) u and g blocks
+        tcar[...] = jnp.concatenate([t[Q: 2 * Q], t[3 * Q: 4 * Q]], axis=0)
 
-        for d, lref in enumerate(l_refs):
-            chunk = wire[2 * d * CH: 2 * (d + 1) * CH]
-            sig_w, big_w = _split_limbs_sp(chunk, self.n_limbs,
+        lu_refs, lg_refs = l_refs
+        for d in range(3):
+            uch = wire[d * DQ: d * DQ + 2 * Q]
+            gch = wire[d * DQ + 2 * Q: (d + 1) * DQ]
+            sig_u, big_u = _split_limbs_sp(uch, self.n_limbs,
                                            self.limb_bits)
-            y = y + _acc_sp(self.mL[d].terms(lref, big_w, sig_w))
+            sig_g, big_g = _split_limbs_sp(gch, self.n_limbs,
+                                           self.limb_bits)
+            y = y + _acc_sp(self.mLu[d].terms(lu_refs[d], big_u, sig_u))
+            y = y + _acc_sp(self.mLg[d].terms(lg_refs[d], big_g, sig_g))
         return y
 
-    def _kernel(self, x_hbm, a_ref, t_ref, z_ref, l0_ref, l1_ref, l2_ref,
-                out_ref, slab, tcar, sem):
+    def _kernel(self, x_hbm, a_ref, t_ref, z_ref, lu0, lu1, lu2, lg0, lg1,
+                lg2, out_ref, slab, tcar, sem):
         out_ref[0] = self._matvec_layer(x_hbm, a_ref, t_ref, z_ref,
-                                        (l0_ref, l1_ref, l2_ref), slab,
-                                        tcar, sem)
+                                        ((lu0, lu1, lu2), (lg0, lg1, lg2)),
+                                        slab, tcar, sem)
 
     def _kernel_cheb(self, x_hbm, b_ref, xold_ref, f12_ref, idg_ref, a_ref,
-                     t_ref, z_ref, l0_ref, l1_ref, l2_ref, t3_ref, t3t_ref,
-                     out_ref, slab, tcar, sem):
+                     t_ref, z_ref, lu0, lu1, lu2, lg0, lg1, lg2, t3_ref,
+                     t3t_ref, out_ref, slab, tcar, sem):
         """Fused Chebyshev-update epilogue (the reference's action 3,
         /root/reference/common/laplace_operator_dg.h:1839-1860, with the
         JacobiTransformed preconditioner folded in,
@@ -383,7 +405,8 @@ class PallasDGSP(_PallasDGBase):
         emitted by the same kernel pass that computes A x — the separate
         Jacobi matmuls and residual/update streams over HBM disappear."""
         y = self._matvec_layer(x_hbm, a_ref, t_ref, z_ref,
-                               (l0_ref, l1_ref, l2_ref), slab, tcar, sem)
+                               ((lu0, lu1, lu2), (lg0, lg1, lg2)), slab,
+                               tcar, sem)
         r = b_ref[0] - y
         sig_r, big_r = _split_limbs_sp(r, self.n_limbs, self.limb_bits)
         w = _acc_sp(self.mT3t.terms(t3t_ref, big_r, sig_r))
@@ -395,16 +418,19 @@ class PallasDGSP(_PallasDGBase):
         f2 = f12_ref[0, 1]
         out_ref[0] = x + f1 * (x - xold_ref[0]) + f2 * pc
 
+    def _mats(self):
+        return (self.mA, self.mT, self.mTzb, *self.mLu, *self.mLg)
+
     def _call(self, xk: jnp.ndarray) -> jnp.ndarray:
-        N, TR, CH, Fp, cz = self.N, self.TR, self.CH, self.Fp, self.cz
-        nl = self.n_limbs
+        N, TR, Q, Fp, cz = self.N, self.TR, self.Q, self.Fp, self.cz
+        mats = self._mats()
         mac = (self.mA.stack.shape[0] * N + self.mT.stack.shape[0] * TR
-               + self.mTzb.stack.shape[0] * CH
-               + sum(m.stack.shape[0] * N for m in self.mL))
+               + self.mTzb.stack.shape[0] * 2 * Q
+               + sum(m.stack.shape[0] * N for m in (*self.mLu, *self.mLg)))
         const_spec = [
             pl.BlockSpec(m.stack.shape, lambda zi: (_I0, _I0),
                          memory_space=pltpu.VMEM)
-            for m in (self.mA, self.mT, self.mTzb, *self.mL)
+            for m in mats
         ]
         return pl.pallas_call(
             self._kernel,
@@ -415,7 +441,7 @@ class PallasDGSP(_PallasDGBase):
             out_shape=jax.ShapeDtypeStruct((cz, N, Fp), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, N, Fp), jnp.float32),
-                pltpu.VMEM((CH, Fp), jnp.float32),
+                pltpu.VMEM((2 * Q, Fp), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             cost_estimate=pl.CostEstimate(
@@ -425,8 +451,7 @@ class PallasDGSP(_PallasDGBase):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=self.interpret,
-        )(xk, self.mA.stack, self.mT.stack, self.mTzb.stack,
-          *(m.stack for m in self.mL))
+        )(xk, *(m.stack for m in mats))
 
     # --------------------------------------------- fused Chebyshev update
     def install_jacobi(self, T3: np.ndarray, inv_diag_k: jnp.ndarray):
@@ -452,7 +477,7 @@ class PallasDGSP(_PallasDGBase):
         xk, xk_old, bk = jax.lax.optimization_barrier((xk, xk_old, bk))
         blk = pl.BlockSpec((1, N, Fp), lambda zi: (zi, _I0, _I0),
                            memory_space=pltpu.VMEM)
-        mats = (self.mA, self.mT, self.mTzb, *self.mL, self.mT3, self.mT3t)
+        mats = (*self._mats(), self.mT3, self.mT3t)
         const_spec = [
             pl.BlockSpec(m.stack.shape, lambda zi: (_I0, _I0),
                          memory_space=pltpu.VMEM)
@@ -476,7 +501,7 @@ class PallasDGSP(_PallasDGBase):
             out_shape=jax.ShapeDtypeStruct((cz, N, Fp), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, N, Fp), jnp.float32),
-                pltpu.VMEM((self.CH, Fp), jnp.float32),
+                pltpu.VMEM((2 * self.Q, Fp), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             cost_estimate=pl.CostEstimate(
@@ -547,10 +572,13 @@ class PallasDGOzaki(_PallasDGBase):
         return join_f64(v[:, 0], v[:, 1])
 
     # -------------------------------------------------------------- kernel
-    def _kernel(self, x_hbm, a_ref, t_ref, z_ref, l0_ref, l1_ref, l2_ref,
-                out_ref, slab, tcar_h, tcar_l, sem):
+    def _mats(self):
+        return (self.mA, self.mT, self.mTzb, *self.mLu, *self.mLg)
+
+    def _kernel(self, x_hbm, a_ref, t_ref, z_ref, lu0, lu1, lu2, lg0, lg1,
+                lg2, out_ref, slab, tcar_h, tcar_l, sem):
         zi = pl.program_id(0)
-        N, TR, CH, Fp = self.N, self.TR, self.CH, self.Fp
+        Q, DQ = self.Q, self.DQ
 
         cp = pltpu.make_async_copy(x_hbm.at[pl.ds(zi, 2)], slab, sem)
         cp.start()
@@ -566,29 +594,36 @@ class PallasDGOzaki(_PallasDGBase):
         tzh, tzl = _acc_pair(self.mTzb.terms(z_ref, big_n, sig_n))
 
         wh, wl = self._wire((th, tl), (tzh, tzl), (tcar_h, tcar_l), zi)
-        tcar_h[...] = th[CH: 2 * CH]
-        tcar_l[...] = tl[CH: 2 * CH]
+        tcar_h[...] = jnp.concatenate([th[Q: 2 * Q], th[3 * Q: 4 * Q]],
+                                      axis=0)
+        tcar_l[...] = jnp.concatenate([tl[Q: 2 * Q], tl[3 * Q: 4 * Q]],
+                                      axis=0)
 
-        for d, lref in enumerate((l0_ref, l1_ref, l2_ref)):
-            ch_h = wh[2 * d * CH: 2 * (d + 1) * CH]
-            ch_l = wl[2 * d * CH: 2 * (d + 1) * CH]
-            sig_w, big_w = _split_limbs_pair(ch_h, ch_l, self.n_limbs,
-                                             self.limb_bits)
-            yh, yl = _acc_pair(self.mL[d].terms(lref, big_w, sig_w),
-                               acc=(yh, yl))
+        lu_refs = (lu0, lu1, lu2)
+        lg_refs = (lg0, lg1, lg2)
+        for d in range(3):
+            for mfam, lref, r0 in ((self.mLu, lu_refs, d * DQ),
+                                   (self.mLg, lg_refs, d * DQ + 2 * Q)):
+                ch_h = wh[r0: r0 + 2 * Q]
+                ch_l = wl[r0: r0 + 2 * Q]
+                sig_w, big_w = _split_limbs_pair(ch_h, ch_l, self.n_limbs,
+                                                 self.limb_bits)
+                yh, yl = _acc_pair(mfam[d].terms(lref[d], big_w, sig_w),
+                                   acc=(yh, yl))
 
         out_ref[0, 0] = yh
         out_ref[0, 1] = yl
 
     def _call(self, xk: jnp.ndarray) -> jnp.ndarray:
-        N, TR, CH, Fp, cz = self.N, self.TR, self.CH, self.Fp, self.cz
+        N, TR, Q, Fp, cz = self.N, self.TR, self.Q, self.Fp, self.cz
+        mats = self._mats()
         mac = (self.mA.stack.shape[0] * N + self.mT.stack.shape[0] * TR
-               + self.mTzb.stack.shape[0] * CH
-               + sum(m.stack.shape[0] * N for m in self.mL))
+               + self.mTzb.stack.shape[0] * 2 * Q
+               + sum(m.stack.shape[0] * N for m in (*self.mLu, *self.mLg)))
         const_spec = [
             pl.BlockSpec(m.stack.shape, lambda zi: (_I0, _I0),
                          memory_space=pltpu.VMEM)
-            for m in (self.mA, self.mT, self.mTzb, *self.mL)
+            for m in mats
         ]
         return pl.pallas_call(
             self._kernel,
@@ -600,8 +635,8 @@ class PallasDGOzaki(_PallasDGBase):
             out_shape=jax.ShapeDtypeStruct((cz, 2, N, Fp), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2, 2, N, Fp), jnp.float32),
-                pltpu.VMEM((CH, Fp), jnp.float32),
-                pltpu.VMEM((CH, Fp), jnp.float32),
+                pltpu.VMEM((2 * Q, Fp), jnp.float32),
+                pltpu.VMEM((2 * Q, Fp), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
             cost_estimate=pl.CostEstimate(
@@ -611,8 +646,7 @@ class PallasDGOzaki(_PallasDGBase):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=self.interpret,
-        )(xk, self.mA.stack, self.mT.stack, self.mTzb.stack,
-          *(m.stack for m in self.mL))
+        )(xk, *(m.stack for m in mats))
 
     # ----------------------------------------------------------- interface
     def vmult_kernel(self, xk: jnp.ndarray) -> jnp.ndarray:

@@ -175,3 +175,65 @@ def test_solver_kernel_layout_parity():
     ea = a.l2_error(xa, a.exact_quad)
     eb = b.l2_error(xb, b.exact_quad)
     assert abs(ea - eb) / ea < 1e-3
+
+
+def test_fused_cheb_matches_reference_smoother():
+    """FusedChebyshevDG tracks the f64 smoother truth.
+
+    Accuracy contract (understood r5): on SMOOTH iterates the SIP
+    operator cancels ~1e5x against the input, and the sp kernel's dense
+    [N,N] limb matmuls round their f32 accumulation at the PRE-cancel
+    magnitude — the same class as the shipped brick sp smoother
+    (dense-element design trade-off; the sum-factorized XLA form
+    localizes cancellation per 1-D stage instead).  The smoother role
+    tolerates this: solver-level parity (rate + L2) is pinned by
+    test_solver_kernel_layout_parity.  Here we pin (a) the fused apply
+    stays within the smoother-class band of the f64 truth and (b) the
+    dp kernel — which the outer CG depends on — tracks the truth to
+    ~1e-6 on the SAME smooth iterate (the jump-form + compensated wire
+    combine guarantee; it was 1e-1 before them)."""
+    from multigrid_tpu.ops.dg_precond import JacobiTransformed
+    from multigrid_tpu.ops.pallas_dg import FusedChebyshevDG, PallasDGOzaki
+    from multigrid_tpu.solvers.chebyshev import FIRST_KIND, Chebyshev
+
+    g = _grid((3, 2, 3), 3, "hermite")
+    op32 = DGLaplace(g, jnp.float32)
+    op64 = DGLaplace(g, jnp.float64)
+    jac = JacobiTransformed(op32)
+    jac64 = JacobiTransformed(op64, dtype=jnp.float64)
+    spk = PallasDGSP(g, interpret=True)
+    ref = Chebyshev.create(
+        op32.vmult, None, smoothing_range=20.0, degree=3,
+        eig_cg_n_iterations=15, kind=FIRST_KIND, precond=jac.vmult,
+        example=jnp.zeros(g.shape, jnp.float32))
+    truth = Chebyshev(vmult_op=op64.vmult, precond=jac64.vmult,
+                      theta=ref.theta, delta=ref.delta, degree=ref.degree,
+                      max_eig=ref.max_eig, min_eig=ref.min_eig,
+                      kind=FIRST_KIND)
+
+    T3 = np.kron(np.kron(np.asarray(g.basis.T), np.asarray(g.basis.T)),
+                 np.asarray(g.basis.T))
+    inv_diag_k = spk.to_kernel(jac.inv_diag)
+    spk.install_jacobi(T3, inv_diag_k)
+    T3f = jnp.asarray(T3, jnp.float32)
+    T3tf = jnp.asarray(T3.T, jnp.float32)
+
+    def jac_k(u):
+        hp = jax.lax.Precision.HIGHEST
+        y = jnp.einsum("mn,znf->zmf", T3tf, u, precision=hp)
+        return jnp.einsum("mn,znf->zmf", T3f, y * inv_diag_k, precision=hp)
+
+    fused = FusedChebyshevDG(spk, jac_k, theta=ref.theta, delta=ref.delta,
+                             degree=ref.degree)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(g.shape), jnp.float32)
+    y64 = np.asarray(truth.vmult(b.astype(jnp.float64)))
+    den = np.abs(y64).max()
+    y_k = np.asarray(spk.from_kernel(fused.vmult(spk.to_kernel(b))[:-1]))
+    assert np.abs(y_k - y64).max() / den < 0.3          # smoother class
+    # (b) dp kernel on the same smooth iterate: outer-CG-grade accuracy
+    x = jac.vmult(b) * (1.0 / ref.theta)
+    yA64 = np.asarray(op64.vmult(x.astype(jnp.float64)))
+    kp = PallasDGOzaki(g, interpret=True)
+    yA = np.asarray(kp.vmult(x.astype(jnp.float64)))
+    assert np.abs(yA - yA64).max() / np.abs(yA64).max() < 1e-5
