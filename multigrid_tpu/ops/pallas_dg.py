@@ -371,8 +371,11 @@ class PallasDGSP(_PallasDGBase):
         tz = _acc_sp(self.mTzb.terms(z_ref, big_n, sig_n))
 
         (wire,) = self._wire((t,), (tz,), (tcar,), zi)
-        # carry = own (d=0, side 1) u and g blocks
-        tcar[...] = jnp.concatenate([t[Q: 2 * Q], t[3 * Q: 4 * Q]], axis=0)
+        # carry = own (d=0, side 1) u and g blocks; TWO ref stores, not a
+        # sublane concat of nonzero-offset slices (Mosaic offset rule —
+        # the r3 brick lesson, ops/pallas_windowed.py x-window notes)
+        tcar[0: Q] = t[Q: 2 * Q]
+        tcar[Q: 2 * Q] = t[3 * Q: 4 * Q]
 
         lu_refs, lg_refs = l_refs
         for d in range(3):
@@ -594,10 +597,11 @@ class PallasDGOzaki(_PallasDGBase):
         tzh, tzl = _acc_pair(self.mTzb.terms(z_ref, big_n, sig_n))
 
         wh, wl = self._wire((th, tl), (tzh, tzl), (tcar_h, tcar_l), zi)
-        tcar_h[...] = jnp.concatenate([th[Q: 2 * Q], th[3 * Q: 4 * Q]],
-                                      axis=0)
-        tcar_l[...] = jnp.concatenate([tl[Q: 2 * Q], tl[3 * Q: 4 * Q]],
-                                      axis=0)
+        # two ref stores per plane (see the sp kernel's carry note)
+        tcar_h[0: Q] = th[Q: 2 * Q]
+        tcar_h[Q: 2 * Q] = th[3 * Q: 4 * Q]
+        tcar_l[0: Q] = tl[Q: 2 * Q]
+        tcar_l[Q: 2 * Q] = tl[3 * Q: 4 * Q]
 
         lu_refs = (lu0, lu1, lu2)
         lg_refs = (lg0, lg1, lg2)
