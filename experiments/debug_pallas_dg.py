@@ -118,7 +118,7 @@ def main():
         cp.wait()
         sig_n, big_n = pd._split_limbs_sp(slab[1], k.n_limbs, k.limb_bits)
         tzv = pd._acc_sp(k.mTzb.terms(z, big_n, sig_n))
-        out[0] = jnp.pad(tzv, ((0, N - 2 * Q), (0, 0)))
+        out[0, : 2 * Q] = tzv          # partial block write (no in-kernel pad)
 
     def wire_body(x_hbm, a, t, z, lu0, lu1, lu2, lg0, lg1, lg2, out, slab,
                   tcar, sem):
