@@ -135,8 +135,41 @@ def main():
         tcar[Q: 2 * Q] = tt[3 * Q: 4 * Q]
         out[0] = wire[: N]
 
+    def l_body(x_hbm, a, t, z, lu0, lu1, lu2, lg0, lg1, lg2, out, slab,
+               tcar, sem):
+        zi = pl.program_id(0)
+        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(zi, 2)], slab, sem)
+        cp.start()
+        cp.wait()
+        sig, big = pd._split_limbs_sp(slab[0], k.n_limbs, k.limb_bits)
+        tt = pd._acc_sp(k.mT.terms(t, big, sig))
+        sig_n, big_n = pd._split_limbs_sp(slab[1], k.n_limbs, k.limb_bits)
+        tzv = pd._acc_sp(k.mTzb.terms(z, big_n, sig_n))
+        (wire,) = k._wire((tt,), (tzv,), (tcar,), zi)
+        tcar[0: Q] = tt[Q: 2 * Q]
+        tcar[Q: 2 * Q] = tt[3 * Q: 4 * Q]
+        y = None
+        lu_refs = (lu0, lu1, lu2)
+        lg_refs = (lg0, lg1, lg2)
+        for d in range(3):
+            uch = wire[d * DQ: d * DQ + 2 * Q]
+            gch = wire[d * DQ + 2 * Q: (d + 1) * DQ]
+            su, bu = pd._split_limbs_sp(uch, k.n_limbs, k.limb_bits)
+            sg, bg = pd._split_limbs_sp(gch, k.n_limbs, k.limb_bits)
+            t1 = pd._acc_sp(k.mLu[d].terms(lu_refs[d], bu, su))
+            t2 = pd._acc_sp(k.mLg[d].terms(lg_refs[d], bg, sg))
+            y = t1 + t2 if y is None else y + t1 + t2
+        out[0] = y
+
+    def full_body(x_hbm, a, t, z, lu0, lu1, lu2, lg0, lg1, lg2, out, slab,
+                  tcar, sem):
+        out[0] = k._matvec_layer(x_hbm, a, t, z,
+                                 ((lu0, lu1, lu2), (lg0, lg1, lg2)),
+                                 slab, tcar, sem)
+
     stages = [("dma", dma_body, N), ("a0", a0_body, N), ("t", t_body, N),
-              ("tz", tz_body, N), ("wire", wire_body, N)]
+              ("tz", tz_body, N), ("wire", wire_body, N),
+              ("l", l_body, N), ("fullbody", full_body, N)]
     for name, body, rows in stages:
         try:
             r = call(body, rows)
@@ -146,6 +179,15 @@ def main():
             print(f"stage {name}: FAULT: {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
             raise SystemExit(1)
+
+    try:
+        yk = k._call(xk)                  # no optimization_barrier wrappers
+        jax.block_until_ready(yk)
+        print("stage call_nobarrier: ok", flush=True)
+    except Exception as e:
+        print(f"stage call_nobarrier: FAULT: {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+        raise SystemExit(1)
 
     try:
         yk = jax.jit(k.vmult_kernel)(xk)
