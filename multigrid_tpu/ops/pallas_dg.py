@@ -477,7 +477,7 @@ class PallasDGSP(_PallasDGBase):
         N, Fp, cz = self.N, self.Fp, self.cz
         f12 = jnp.stack([jnp.asarray(f1, jnp.float32),
                          jnp.asarray(f2, jnp.float32)]).reshape(1, 2)
-        xk, xk_old, bk = jax.lax.optimization_barrier((xk, xk_old, bk))
+        # no barriers around this Mosaic call (see vmult_kernel)
         blk = pl.BlockSpec((1, N, Fp), lambda zi: (zi, _I0, _I0),
                            memory_space=pltpu.VMEM)
         mats = (*self._mats(), self.mT3, self.mT3t)
@@ -516,13 +516,20 @@ class PallasDGSP(_PallasDGBase):
             interpret=self.interpret,
         )(xk, bk, xk_old, f12, self._idg_k,
           *(m.stack for m in mats))
-        return self.repad_top(jax.lax.optimization_barrier(o))
+        return self.repad_top(o)
 
     # ----------------------------------------------------------- interface
     def vmult_kernel(self, xk: jnp.ndarray) -> jnp.ndarray:
-        """[cz+1, N, Fp] persistent layout in -> [cz, N, Fp] out."""
-        xk = jax.lax.optimization_barrier(xk)
-        return jax.lax.optimization_barrier(self._call(xk))
+        """[cz+1, N, Fp] persistent layout in -> [cz, N, Fp] out.
+
+        NO optimization_barrier here: wrapping THIS kernel's operand and
+        result in barriers made the compiled program hang/fault on v5e
+        (dg_bisect 2026-08-21: every staged subset and the bare _call
+        pass; only the barrier-wrapped form dies) — the mirror image of
+        the brick kernels, where the barriers FIX a fusion miscompile.
+        Both are the same lesson: XLA's choices around a Mosaic custom
+        call are fragile; hardware-gate every change here (CLAUDE.md)."""
+        return self._call(xk)
 
     def repad_top(self, y: jnp.ndarray) -> jnp.ndarray:
         """[cz, N, Fp] kernel output -> persistent [cz+1, N, Fp] (restore
@@ -654,9 +661,9 @@ class PallasDGOzaki(_PallasDGBase):
 
     # ----------------------------------------------------------- interface
     def vmult_kernel(self, xk: jnp.ndarray) -> jnp.ndarray:
-        """[cz+1, 2, N, Fp] pair layout in -> [cz, 2, N, Fp] out."""
-        xk = jax.lax.optimization_barrier(xk)
-        return jax.lax.optimization_barrier(self._call(xk))
+        """[cz+1, 2, N, Fp] pair layout in -> [cz, 2, N, Fp] out (no
+        barriers — see the sp twin's note)."""
+        return self._call(xk)
 
     def vmult(self, u64: jnp.ndarray) -> jnp.ndarray:
         """natural f64 block layout in/out (conversions included)."""
